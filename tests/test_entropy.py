@@ -1,0 +1,117 @@
+"""Entropy codec round-trip tests (lossless by definition)."""
+
+import numpy as np
+import pytest
+
+from vcf_tpu import entropy
+from vcf_tpu import native
+
+
+def _random_image(dtype, shape=(37, 53, 3), seed=0, peak=None):
+    rng = np.random.default_rng(seed)
+    peak = peak or (255 if dtype == np.uint8 else 4095)
+    # correlated data so compressors actually compress
+    base = rng.integers(0, peak + 1, shape).astype(np.int64)
+    smooth = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    return smooth.astype(dtype)
+
+
+ALL_CODECS = ["zlib", "pnm", "png", "tiff", "huffman", "cbahc", "cbaac"]
+
+
+@pytest.mark.parametrize("name", ALL_CODECS)
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_roundtrip(name, dtype):
+    codec = entropy.get(name)
+    arr = _random_image(dtype)
+    payload, side = codec.encode(arr)
+    rec = codec.decode(payload, side)
+    np.testing.assert_array_equal(rec, arr)
+    assert rec.dtype == arr.dtype
+
+
+@pytest.mark.parametrize("name", ["zlib", "png", "tiff", "huffman"])
+def test_compresses_smooth_data(name):
+    codec = entropy.get(name)
+    arr = np.tile(np.arange(64, dtype=np.uint8), (64, 4)).reshape(64, 256)
+    arr = np.stack([arr] * 3, axis=-1)
+    payload, side = codec.encode(arr)
+    total = len(payload) + sum(len(v) for v in side.values())
+    assert total < arr.nbytes * 0.8
+
+
+def test_huffman_single_symbol():
+    codec = entropy.get("huffman")
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    payload, side = codec.encode(arr)
+    rec = codec.decode(payload, side)
+    np.testing.assert_array_equal(rec, arr)
+
+
+def test_huffman_python_native_agree():
+    """Python fallback and native runtime produce identical streams."""
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from vcf_tpu.entropy import huffman as h
+
+    arr = _random_image(np.uint8, (31, 17, 3), seed=4)
+    flat = arr.reshape(-1)
+    counts = np.bincount(flat, minlength=256)
+    lengths = h.code_lengths_from_counts(counts)
+    codes = h.canonical_codes(lengths)
+    py_payload, _ = h.pack_codes(flat, codes, lengths)
+    nat_payload = native.huffman_encode(flat, codes, lengths)
+    assert py_payload == nat_payload
+    py_dec = h.unpack_codes(nat_payload, flat.size, lengths)
+    nat_dec = native.huffman_decode(py_payload, flat.size, lengths)
+    np.testing.assert_array_equal(py_dec, flat)
+    np.testing.assert_array_equal(nat_dec, flat)
+
+
+def test_cbaac_python_native_agree():
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from vcf_tpu.entropy import cbaac
+
+    data = _random_image(np.uint8, (16, 16), seed=5).reshape(-1)
+    for order in (0, 1, 2):
+        py_stream = cbaac._py_rc_encode(data, order)
+        nat_stream = native.rc_encode(data, order)
+        assert py_stream == nat_stream, f"order {order}"
+        np.testing.assert_array_equal(
+            cbaac._py_rc_decode(nat_stream, data.size, order), data
+        )
+        np.testing.assert_array_equal(
+            native.rc_decode(py_stream, data.size, order), data
+        )
+
+
+def test_cbahc_python_native_agree():
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from vcf_tpu.entropy import cbahc
+
+    data = _random_image(np.uint8, (8, 8), seed=6).reshape(-1)
+    for order in (0, 1):
+        py_stream = cbahc._py_encode(data, order)
+        nat_stream = native.cbahc_encode(data, order)
+        assert py_stream == nat_stream, f"order {order}"
+        np.testing.assert_array_equal(
+            cbahc._py_decode(nat_stream, data.size, order), data
+        )
+        np.testing.assert_array_equal(
+            native.cbahc_decode(py_stream, data.size, order), data
+        )
+
+
+def test_adaptive_coders_beat_raw_on_skewed_data():
+    rng = np.random.default_rng(0)
+    data = rng.choice(
+        np.arange(8, dtype=np.uint8), p=[0.6, 0.2, 0.1, 0.04, 0.03, 0.02, 0.005, 0.005],
+        size=(64, 64),
+    )
+    for name in ("cbaac", "cbahc", "huffman"):
+        codec = entropy.get(name)
+        payload, side = codec.encode(data)
+        total = len(payload) + sum(len(v) for v in side.values())
+        assert total < data.nbytes * 0.5, name

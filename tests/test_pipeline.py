@@ -1,0 +1,163 @@
+"""End-to-end pipeline tests: encode -> decode round trips across stage
+compositions, with RD sanity checks (the VCF notebook pattern, SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from vcf_tpu import Codec, CodecConfig, CodeStream, metrics
+
+
+def roundtrip(config, img):
+    codec = Codec(config)
+    cs = codec.encode(img)
+    # serialize/deserialize to prove the container carries everything
+    cs2 = CodeStream.from_bytes(cs.to_bytes())
+    rec = Codec(config).decode(cs2)
+    return cs, rec
+
+
+class TestEntropyOnly:
+    @pytest.mark.parametrize("entropy", ["png", "tiff", "pnm", "zlib"])
+    def test_lossless(self, img_small, entropy):
+        cfg = CodecConfig(spatial="none", color="none", quantizer="none", entropy=entropy)
+        cs, rec = roundtrip(cfg, img_small)
+        np.testing.assert_array_equal(rec, img_small)
+
+
+class TestQuantizeOnly:
+    def test_deadzone_bounds_error(self, img_small):
+        cfg = CodecConfig(spatial="none", color="none", quantizer="deadzone",
+                          entropy="zlib", qss=32)
+        cs, rec = roundtrip(cfg, img_small)
+        # reconstruction error bounded by the step size
+        assert np.abs(rec.astype(int) - img_small.astype(int)).max() < 32
+
+    def test_qss1_lossless(self, img_small):
+        cfg = CodecConfig(spatial="none", color="none", quantizer="deadzone",
+                          entropy="zlib", qss=1)
+        cs, rec = roundtrip(cfg, img_small)
+        np.testing.assert_array_equal(rec, img_small)
+
+
+class TestColorPipeline:
+    @pytest.mark.parametrize("color", ["ycocg", "ycrcb", "cdct"])
+    def test_color_quantize(self, img_small, color):
+        cfg = CodecConfig(spatial="none", color=color, quantizer="deadzone",
+                          entropy="zlib", qss=16)
+        cs, rec = roundtrip(cfg, img_small)
+        assert metrics.rmse(img_small, rec) < 16
+
+    def test_ycocg_r_qss1_lossless(self, img_small):
+        cfg = CodecConfig(spatial="none", color="ycocg_r", quantizer="deadzone",
+                          entropy="zlib", qss=1)
+        cs, rec = roundtrip(cfg, img_small)
+        np.testing.assert_array_equal(rec, img_small)
+
+
+class TestDCTPipeline:
+    def test_default_config_rd(self, img512):
+        cfg = CodecConfig()  # VCF defaults: ycocg+dct8+subbands+deadzone32+tiff
+        cs, rec = roundtrip(cfg, img512)
+        report = metrics.j_cost(cs, img512, rec)
+        assert report["distortion_rmse"] < 20.0
+        assert report["rate_bpp"] < 4.0
+
+    def test_small_qss_high_quality(self, img512):
+        # qss=16 is the smallest step whose indexes cannot wrap the uint8
+        # storage (|coeff| <= B*128 = 1024 -> |k| <= 64); the reference has
+        # the same uint8 cast and the same wrap hazard (src/2D-DCT.py:361)
+        cfg = CodecConfig(qss=16, entropy="zlib")
+        cs, rec = roundtrip(cfg, img512)
+        assert metrics.rmse(img512, rec) < 8.0
+
+    def test_rd_monotonic_in_qss(self, img512):
+        errs, rates = [], []
+        for qss in (8, 32, 128):
+            cfg = CodecConfig(qss=qss, entropy="zlib")
+            cs, rec = roundtrip(cfg, img512)
+            errs.append(metrics.rmse(img512, rec))
+            rates.append(cs.total_bytes)
+        assert errs[0] < errs[1] < errs[2]
+        assert rates[0] > rates[1] > rates[2]
+
+    def test_odd_shape_padding(self, img_odd):
+        cfg = CodecConfig(qss=8, entropy="zlib")
+        cs, rec = roundtrip(cfg, img_odd)
+        assert rec.shape == img_odd.shape
+        assert metrics.rmse(img_odd, rec) < 8.0
+
+    def test_no_subbands(self, img_small):
+        cfg = CodecConfig(subbands=False, qss=16, entropy="zlib")
+        cs, rec = roundtrip(cfg, img_small)
+        assert metrics.rmse(img_small, rec) < 12.0
+
+    def test_perceptual(self, img512):
+        cfg = CodecConfig(perceptual=True, qss=8, entropy="zlib")
+        cs, rec = roundtrip(cfg, img512)
+        assert metrics.rmse(img512, rec) < 20.0
+
+    @pytest.mark.parametrize("block_size", [4, 16])
+    def test_block_sizes(self, img_small, block_size):
+        cfg = CodecConfig(block_size=block_size, qss=16, entropy="zlib")
+        cs, rec = roundtrip(cfg, img_small)
+        assert metrics.rmse(img_small, rec) < 12.0
+
+    @pytest.mark.parametrize("entropy", ["huffman", "cbaac"])
+    def test_entropy_backends(self, img_small, entropy):
+        cfg = CodecConfig(qss=32, entropy=entropy)
+        cs_z, rec_z = roundtrip(CodecConfig(qss=32, entropy="zlib"), img_small)
+        cs, rec = roundtrip(cfg, img_small)
+        # entropy stage must not change the reconstruction at all
+        np.testing.assert_array_equal(rec, rec_z)
+
+
+class TestLloydMax:
+    def test_dct_lloydmax(self, img_small):
+        cfg = CodecConfig(quantizer="lloydmax", qss=32, entropy="zlib")
+        cs, rec = roundtrip(cfg, img_small)
+        assert metrics.rmse(img_small, rec) < 25.0
+        assert "q_levels" in cs  # side info rides in the stream
+
+
+class TestVQ:
+    def test_color_vq_palette(self, img_small):
+        cfg = CodecConfig(spatial="none", color="none", quantizer="colorvq",
+                          entropy="zlib", colorvq_clusters=32)
+        cs, rec = roundtrip(cfg, img_small)
+        # palette quantization: bounded error, few distinct colors
+        uniq = np.unique(rec.reshape(-1, 3), axis=0)
+        assert len(uniq) <= 32
+        assert metrics.rmse(img_small, rec) < 40.0
+
+    def test_spatial_vq(self, img_small):
+        cfg = CodecConfig(spatial="none", color="ycocg", quantizer="vq",
+                          entropy="zlib", vq_clusters=64, vq_block_size=4)
+        cs, rec = roundtrip(cfg, img_small)
+        assert "q_codebook" in cs
+        assert metrics.rmse(img_small, rec) < 40.0
+
+    def test_vq_deterministic(self, img_small):
+        cfg = CodecConfig(spatial="none", color="none", quantizer="colorvq",
+                          entropy="zlib", seed=5)
+        cs1 = Codec(cfg).encode(img_small)
+        cs2 = Codec(cfg).encode(img_small)
+        assert cs1.to_bytes() == cs2.to_bytes()
+
+
+class TestFilters:
+    @pytest.mark.parametrize("filt", ["gaussian", "nlm"])
+    def test_filter_runs(self, img_small, filt):
+        cfg = CodecConfig(qss=64, entropy="zlib", filter=filt, filter_size=5)
+        cs, rec = roundtrip(cfg, img_small)
+        assert rec.shape == img_small.shape
+        assert rec.dtype == np.uint8
+
+
+class TestMetrics:
+    def test_rmse_zero(self, img_small):
+        assert metrics.rmse(img_small, img_small) == 0.0
+
+    def test_bpp(self):
+        cs = CodeStream()
+        cs.payload = b"\x00" * 1000
+        assert metrics.bpp(cs, (100, 100, 3)) == 1000 * 8 / (100 * 100)

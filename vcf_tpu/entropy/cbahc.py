@@ -1,0 +1,182 @@
+"""Context-Based Adaptive Huffman Codec (CBAHC).
+
+Capability parity with src/CBAHC.py: order-N byte context model with
+Laplace-smoothed counts, and the Huffman code rebuilt from the live
+context counts before *every* symbol (src/CBAHC.py:184-201) with
+deterministic tie-breaking (:44-70).  Encoder and decoder rebuild
+identical codes, so the stream carries only code bits; sidecar metadata
+stores shape/order/bit-depth (parity with the
+`{fn}_adaptive_huffman_tree.pkl.gz` sidecar, :206-216, minus the
+pickle).
+
+uint16 input is coded as two byte planes (low then high) sharing one
+context stream per plane — a documented deviation from the reference,
+which would rebuild a 65536-leaf tree per symbol.
+
+The per-symbol loop runs in the native C++ runtime; a pure-Python
+mirror is used when the native library is unavailable (slow; tests use
+small arrays).
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+from typing import Dict, Tuple
+
+import numpy as np
+
+from vcf_tpu.entropy.base import EntropyCodec
+from vcf_tpu import native
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirror of the native per-symbol adaptive loop.
+# Must produce bit-identical streams to vcf_cbahc_encode/decode.
+# ---------------------------------------------------------------------------
+
+def _huffman_lengths_256(counts) -> np.ndarray:
+    """Huffman code lengths with (freq, uid) tie-breaking: leaf uid =
+    symbol value, internal uids in creation order (matches native)."""
+    parent = {}
+    heap = [(int(counts[s]), s) for s in range(256)]
+    heapq.heapify(heap)
+    uid = 256
+    while len(heap) > 1:
+        fa, a = heapq.heappop(heap)
+        fb, b = heapq.heappop(heap)
+        parent[a] = uid
+        parent[b] = uid
+        heapq.heappush(heap, (fa + fb, uid))
+        uid += 1
+    lengths = np.zeros(256, dtype=np.uint8)
+    for s in range(256):
+        d, n = 0, s
+        while n in parent:
+            n = parent[n]
+            d += 1
+        lengths[s] = d
+    return lengths
+
+
+def _canonical_codes_256(lengths: np.ndarray) -> np.ndarray:
+    from vcf_tpu.entropy.huffman import canonical_codes
+
+    return canonical_codes(lengths)
+
+
+class _Contexts:
+    def __init__(self, order: int):
+        self.order = order
+        self.mask = (1 << (8 * order)) - 1 if order else 0
+        self.models: Dict[int, np.ndarray] = {}
+
+    def get(self, ctx: int) -> np.ndarray:
+        m = self.models.get(ctx)
+        if m is None:
+            m = np.ones(256, dtype=np.uint32)
+            self.models[ctx] = m
+        return m
+
+
+def _py_encode(data: np.ndarray, order: int) -> bytes:
+    ctxs = _Contexts(order)
+    bits = []
+    ctx = 0
+    for s in data.tolist():
+        counts = ctxs.get(ctx)
+        lengths = _huffman_lengths_256(counts)
+        codes = _canonical_codes_256(lengths)
+        ln = int(lengths[s])
+        code = int(codes[s])
+        bits.extend((code >> (ln - 1 - j)) & 1 for j in range(ln))
+        counts[s] += 1
+        if order:
+            ctx = ((ctx << 8) | s) & ctxs.mask
+    arr = np.array(bits, dtype=np.uint8)
+    return np.packbits(arr).tobytes()
+
+
+def _py_decode(payload: bytes, n_symbols: int, order: int) -> np.ndarray:
+    ctxs = _Contexts(order)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    bits = np.concatenate([bits, np.zeros(64, np.uint8)])
+    out = np.empty(n_symbols, dtype=np.uint8)
+    pos = 0
+    ctx = 0
+    for i in range(n_symbols):
+        counts = ctxs.get(ctx)
+        lengths = _huffman_lengths_256(counts)
+        codes = _canonical_codes_256(lengths)
+        # canonical walk
+        by_len: Dict[int, Dict[int, int]] = {}
+        for s in range(256):
+            by_len.setdefault(int(lengths[s]), {})[int(codes[s])] = s
+        code = 0
+        ln = 0
+        while True:
+            code = (code << 1) | int(bits[pos])
+            pos += 1
+            ln += 1
+            t = by_len.get(ln)
+            if t is not None and code in t:
+                s = t[code]
+                break
+        out[i] = s
+        counts[s] += 1
+        if order:
+            ctx = ((ctx << 8) | s) & ctxs.mask
+    return out
+
+
+def _encode_stream(plane: np.ndarray, order: int) -> bytes:
+    if native.available():
+        return native.cbahc_encode(plane, order)
+    return _py_encode(plane, order)
+
+
+def _decode_stream(payload: bytes, n: int, order: int) -> np.ndarray:
+    if native.available():
+        return native.cbahc_decode(payload, n, order)
+    return _py_decode(payload, n, order)
+
+
+class CBAHCCodec(EntropyCodec):
+    file_extension = ".cbahc"
+
+    def __init__(self, order: int = 1):
+        self.order = order
+
+    @classmethod
+    def from_config(cls, config=None):
+        return cls(order=getattr(config, "context_order", 1))
+
+    def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
+        arr = self.check_dtype(arr)
+        flat = arr.reshape(-1)
+        nbits = 8 if arr.dtype == np.uint8 else 16
+        if nbits == 8:
+            payload = _encode_stream(flat, self.order)
+            split = len(payload)
+        else:
+            lo = _encode_stream((flat & 0xFF).astype(np.uint8), self.order)
+            hi = _encode_stream((flat >> 8).astype(np.uint8), self.order)
+            payload = lo + hi
+            split = len(lo)
+        meta = struct.pack(
+            f"<BBIB{arr.ndim}I", nbits, self.order, split, arr.ndim, *arr.shape
+        )
+        return payload, {"adaptive_huffman_tree": meta}
+
+    def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
+        blob = side["adaptive_huffman_tree"]
+        nbits, order, split, ndim = struct.unpack_from("<BBIB", blob, 0)
+        shape = struct.unpack_from(f"<{ndim}I", blob, 7)
+        n = int(np.prod(shape))
+        if nbits == 8:
+            out = _decode_stream(payload, n, order).astype(np.uint8)
+        else:
+            lo = _decode_stream(payload[:split], n, order).astype(np.uint16)
+            hi = _decode_stream(payload[split:], n, order).astype(np.uint16)
+            out = (hi << 8) | lo
+        return out.reshape(shape)

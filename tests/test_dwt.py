@@ -1,0 +1,115 @@
+"""DWT: filter construction, perfect reconstruction, pipeline flow."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vcf_tpu import Codec, CodecConfig, CodeStream, metrics
+from vcf_tpu.ops import dwt
+
+
+class TestFilters:
+    @pytest.mark.parametrize("p", [1, 2, 3, 5, 8])
+    def test_daubechies_orthonormal(self, p):
+        h = dwt.daubechies_lowpass(p)
+        assert len(h) == 2 * p
+        assert abs(h.sum() - np.sqrt(2)) < 1e-10
+        assert abs(np.dot(h, h) - 1.0) < 1e-10
+        for k in range(1, p):
+            assert abs(np.dot(h[2 * k :], h[: -2 * k])) < 1e-8
+
+    @pytest.mark.parametrize("p", [2, 5])
+    def test_vanishing_moments(self, p):
+        h = dwt.daubechies_lowpass(p)
+        g = np.array([(-1) ** k for k in range(len(h))]) * h[::-1]
+        for m in range(p):
+            assert abs(np.sum(g * np.arange(len(g)) ** m)) < 1e-6
+
+
+class TestPerfectReconstruction:
+    @pytest.mark.parametrize("wavelet", ["haar", "db2", "db5", "bior2.2"])
+    def test_one_level(self, wavelet):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(64, 48, 3)).astype(np.float32))
+        bank = dwt.get_bank(wavelet)
+        ll, d = dwt.analyze_level(x, bank)
+        assert ll.shape == (32, 24, 3)
+        y = dwt.synthesize_level(ll, d, bank, (64, 48))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+    @pytest.mark.parametrize("levels", [1, 3, 5])
+    def test_multilevel(self, levels):
+        rng = np.random.default_rng(1)
+        n = 32 << levels if levels < 4 else 32 * 32
+        x = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
+        decomp = dwt.analyze(x, "db5", levels)
+        assert decomp[0].shape == (64 >> levels, 64 >> levels, 3)
+        y = dwt.synthesize(decomp, "db5")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-3)
+
+    def test_energy_compaction(self):
+        # smooth image -> detail subbands near zero for db5
+        y, x = np.mgrid[0:64, 0:64] / 64.0
+        img = jnp.asarray(
+            np.stack([np.sin(2 * np.pi * x), np.cos(2 * np.pi * y), x * y], -1)
+            .astype(np.float32)
+        )
+        decomp = dwt.analyze(img, "db5", 2)
+        ll_energy = float(jnp.sum(decomp[0] ** 2))
+        detail_energy = sum(
+            float(jnp.sum(b**2)) for d in decomp[1:] for b in d
+        )
+        assert ll_energy > 50 * detail_energy
+
+
+class TestDWTPipeline:
+    def test_roundtrip_rd(self, img512):
+        cfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=3, entropy="zlib")
+        codec = Codec(cfg)
+        cs = codec.encode(img512)
+        cs2 = CodeStream.from_bytes(cs.to_bytes())
+        rec = Codec(cfg).decode(cs2)
+        assert rec.shape == img512.shape
+        assert metrics.rmse(img512, rec) < 10.0
+
+    def test_subband_streams_present(self, img_small):
+        cfg = CodecConfig(spatial="dwt", qss=32, dwt_levels=2, entropy="zlib")
+        cs = Codec(cfg).encode(img_small)
+        assert "LL_2" in cs
+        for name in ("LH_2", "HL_2", "HH_2", "LH_1", "HL_1", "HH_1"):
+            assert name in cs
+
+    def test_odd_shape(self, img_odd):
+        cfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=2, entropy="zlib")
+        codec = Codec(cfg)
+        rec = Codec(cfg).decode(codec.encode(img_odd))
+        assert rec.shape == img_odd.shape
+        assert metrics.rmse(img_odd, rec) < 12.0
+
+    def test_lloydmax_quantizer(self, img_small):
+        cfg = CodecConfig(spatial="dwt", quantizer="lloydmax", qss=64,
+                          dwt_levels=2, entropy="zlib")
+        codec = Codec(cfg)
+        rec = Codec(cfg).decode(codec.encode(img_small))
+        assert metrics.rmse(img_small, rec) < 30.0
+
+
+class TestLBTPipeline:
+    def test_roundtrip_rd(self, img_small):
+        cfg = CodecConfig(spatial="lbt", qss=16, lbt_epochs=60, entropy="zlib")
+        codec = Codec(cfg)
+        cs = codec.encode(img_small)
+        assert "weights" in cs and "mean" in cs
+        rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        assert metrics.rmse(img_small, rec) < 12.0
+
+    def test_beats_identity_on_coding_gain(self, img_small):
+        # trained transform should concentrate energy at least as well as
+        # its DCT init: reconstruction at same qss not much worse than dct
+        cfg_lbt = CodecConfig(spatial="lbt", qss=32, lbt_epochs=60, entropy="zlib")
+        cfg_dct = CodecConfig(spatial="dct", qss=32, entropy="zlib")
+        rec_lbt = Codec(cfg_lbt).decode(Codec(cfg_lbt).encode(img_small))
+        rec_dct = Codec(cfg_dct).decode(Codec(cfg_dct).encode(img_small))
+        e_lbt = metrics.rmse(img_small, rec_lbt)
+        e_dct = metrics.rmse(img_small, rec_dct)
+        assert e_lbt < e_dct * 1.5

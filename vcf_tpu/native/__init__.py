@@ -62,6 +62,17 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vcf_huf_decode.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, c_u8p, ctypes.c_int, c_u16p,
         ]
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.vcf_hist8.restype = None
+        lib.vcf_hist8.argtypes = [c_u8p, ctypes.c_int64, c_i64p]
+        lib.vcf_huf_encode8.restype = ctypes.c_int64
+        lib.vcf_huf_encode8.argtypes = [
+            c_u8p, ctypes.c_int64, c_u8p, c_u8p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.vcf_huf_decode8.restype = ctypes.c_int64
+        lib.vcf_huf_decode8.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, c_u8p, c_u8p,
+        ]
         lib.vcf_rc_encode.restype = ctypes.c_int64
         lib.vcf_rc_encode.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int, c_u8p, ctypes.c_int64,
@@ -97,6 +108,46 @@ def _u16p(a: np.ndarray):
 # ---------------------------------------------------------------------------
 # Huffman
 # ---------------------------------------------------------------------------
+
+def hist8(flat: np.ndarray) -> np.ndarray:
+    """Multi-threaded 256-bin histogram of a uint8 array."""
+    lib = _load()
+    assert lib is not None
+    syms = np.ascontiguousarray(flat, dtype=np.uint8)
+    out = np.zeros(256, dtype=np.int64)
+    lib.vcf_hist8(
+        _u8p(syms), syms.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    )
+    return out
+
+
+def huffman_encode8(flat: np.ndarray, lengths: np.ndarray, chunk_syms: int) -> bytes:
+    """Chunked multi-threaded uint8 Huffman encode (self-framing payload)."""
+    lib = _load()
+    assert lib is not None
+    syms = np.ascontiguousarray(flat, dtype=np.uint8)
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8)
+    max_len = int(lens.max()) if lens.size else 1
+    n_chunks = (syms.size + chunk_syms - 1) // chunk_syms if syms.size else 0
+    cap = syms.size * ((max_len + 7) // 8 + 1) + 8 * n_chunks + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.vcf_huf_encode8(_u8p(syms), syms.size, _u8p(lens), _u8p(out), cap, chunk_syms)
+    if n < 0:
+        raise RuntimeError("native huffman encode8 failed")
+    return out[:n].tobytes()
+
+
+def huffman_decode8(payload: bytes, n_symbols: int, lengths: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    lens = np.ascontiguousarray(lengths, dtype=np.uint8)
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(n_symbols, dtype=np.uint8)
+    n = lib.vcf_huf_decode8(_u8p(src), src.size, n_symbols, _u8p(lens), _u8p(out))
+    if n != n_symbols:
+        raise RuntimeError("native huffman decode8 failed")
+    return out
+
 
 def huffman_encode(flat: np.ndarray, codes: np.ndarray, lengths: np.ndarray) -> bytes:
     """Encode int symbols with canonical codes derived from `lengths`."""

@@ -495,3 +495,218 @@ int64_t vcf_cbahc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
 int vcf_native_version() { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// High-throughput uint8 Huffman path: multi-threaded histogram and
+// chunked encode/decode.  The payload is self-framing:
+//   [u32 n_chunks][u64 chunk_syms][u64 byte_len x n_chunks][chunk streams]
+// Each chunk is an independent byte-aligned canonical-Huffman stream, so
+// encode and decode both parallelize across cores and, later, across
+// tile streams (SURVEY §7.3 "many independent per-tile streams").
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <atomic>
+
+namespace {
+
+int hw_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? (int)n : 2;
+}
+
+void hist_range(const uint8_t* p, int64_t n, int64_t* out) {
+  int64_t c[4][256] = {};
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    ++c[0][p[i]];
+    ++c[1][p[i + 1]];
+    ++c[2][p[i + 2]];
+    ++c[3][p[i + 3]];
+  }
+  for (; i < n; ++i) ++c[0][p[i]];
+  for (int s = 0; s < 256; ++s)
+    out[s] = c[0][s] + c[1][s] + c[2][s] + c[3][s];
+}
+
+// Encode one chunk; returns bytes written or -1.
+int64_t encode_chunk(const uint8_t* syms, int64_t n,
+                     const uint64_t* codes, const uint8_t* lengths,
+                     uint8_t* out, int64_t cap) {
+  // 64-bit accumulator, flush 4 bytes whenever >= 32 bits pending.
+  uint64_t acc = 0;
+  int nbits = 0;
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int s = syms[i];
+    acc = (acc << lengths[s]) | codes[s];
+    nbits += lengths[s];
+    if (nbits >= 32) {
+      if (pos + 4 > cap) return -1;
+      uint32_t w = (uint32_t)(acc >> (nbits - 32));
+      out[pos++] = (uint8_t)(w >> 24);
+      out[pos++] = (uint8_t)(w >> 16);
+      out[pos++] = (uint8_t)(w >> 8);
+      out[pos++] = (uint8_t)w;
+      nbits -= 32;
+    }
+  }
+  while (nbits > 0) {
+    if (pos >= cap) return -1;
+    int take = nbits >= 8 ? 8 : nbits;
+    uint8_t b = (uint8_t)((acc >> (nbits - take)) << (8 - take));
+    out[pos++] = b;
+    nbits -= take;
+  }
+  return pos;
+}
+
+// Table-driven decode of one chunk (max_len <= 14 guaranteed by the
+// Python side's length limiter).
+void decode_chunk(const uint8_t* in, int64_t in_bytes, int64_t n_syms,
+                  const uint16_t* tsym, const uint8_t* tlen, int max_len,
+                  uint8_t* out, bool* ok) {
+  BitReader br(in, in_bytes);
+  for (int64_t i = 0; i < n_syms; ++i) {
+    uint32_t w = br.peek(max_len);
+    if (!tlen[w]) { *ok = false; return; }
+    out[i] = (uint8_t)tsym[w];
+    br.consume(tlen[w]);
+  }
+  *ok = true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void vcf_hist8(const uint8_t* syms, int64_t n, int64_t* out) {
+  int nt = std::min(hw_threads(), 8);
+  if (n < (1 << 20)) nt = 1;
+  std::vector<std::thread> threads;
+  std::vector<std::vector<int64_t>> parts(nt, std::vector<int64_t>(256, 0));
+  int64_t step = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * step, hi = std::min(n, lo + step);
+    if (lo >= hi) break;
+    threads.emplace_back(hist_range, syms + lo, hi - lo, parts[t].data());
+  }
+  for (auto& th : threads) th.join();
+  for (int s = 0; s < 256; ++s) {
+    int64_t acc = 0;
+    for (auto& p : parts) acc += p[s];
+    out[s] = acc;
+  }
+}
+
+// Chunked parallel encode.  chunk_syms == 0 -> pick automatically.
+int64_t vcf_huf_encode8(const uint8_t* syms, int64_t n, const uint8_t* lengths,
+                        uint8_t* out, int64_t cap, int64_t chunk_syms) {
+  std::vector<uint64_t> codes;
+  build_canonical(lengths, 256, codes);
+  int max_len = 0;
+  for (int s = 0; s < 256; ++s) max_len = std::max(max_len, (int)lengths[s]);
+  if (max_len == 0) return -1;
+  if (chunk_syms <= 0) chunk_syms = 8 << 20;
+  int64_t n_chunks = n ? (n + chunk_syms - 1) / chunk_syms : 0;
+  int64_t header = 4 + 8 + 8 * n_chunks;
+  if (header > cap) return -1;
+
+  // worst-case bytes per chunk
+  int64_t worst = chunk_syms * ((max_len + 7) / 8 + 1) + 8;
+  std::vector<int64_t> sizes(n_chunks, 0);
+  std::vector<std::vector<uint8_t>> bufs(n_chunks);
+
+  int nt = std::min<int64_t>(std::min(hw_threads(), 8), std::max<int64_t>(n_chunks, 1));
+  std::vector<std::thread> threads;
+  std::atomic_bool fail{false};
+  auto work = [&](int tid) {
+    for (int64_t c = tid; c < n_chunks; c += nt) {
+      int64_t lo = c * chunk_syms, hi = std::min(n, lo + chunk_syms);
+      bufs[c].resize((size_t)std::min<int64_t>(worst, (hi - lo) * ((max_len + 7) / 8 + 1) + 8));
+      int64_t sz = encode_chunk(syms + lo, hi - lo, codes.data(), lengths,
+                                bufs[c].data(), (int64_t)bufs[c].size());
+      if (sz < 0) { fail = true; return; }
+      sizes[c] = sz;
+    }
+  };
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+  if (fail) return -1;
+
+  int64_t total = header;
+  for (int64_t c = 0; c < n_chunks; ++c) total += sizes[c];
+  if (total > cap) return -1;
+  // header
+  uint8_t* p = out;
+  auto put32 = [&](uint32_t v) { memcpy(p, &v, 4); p += 4; };
+  auto put64 = [&](uint64_t v) { memcpy(p, &v, 8); p += 8; };
+  put32((uint32_t)n_chunks);
+  put64((uint64_t)chunk_syms);
+  for (int64_t c = 0; c < n_chunks; ++c) put64((uint64_t)sizes[c]);
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    memcpy(p, bufs[c].data(), (size_t)sizes[c]);
+    p += sizes[c];
+  }
+  return total;
+}
+
+int64_t vcf_huf_decode8(const uint8_t* in, int64_t in_bytes, int64_t n_syms,
+                        const uint8_t* lengths, uint8_t* out) {
+  int max_len = 0;
+  for (int s = 0; s < 256; ++s) max_len = std::max(max_len, (int)lengths[s]);
+  if (max_len == 0 || max_len > 14) return -1;
+  if (in_bytes < 12) return -1;
+  uint32_t n_chunks;
+  uint64_t chunk_syms;
+  memcpy(&n_chunks, in, 4);
+  memcpy(&chunk_syms, in + 4, 8);
+  int64_t header = 4 + 8 + 8 * (int64_t)n_chunks;
+  if (in_bytes < header) return -1;
+  std::vector<int64_t> sizes(n_chunks), offsets(n_chunks);
+  int64_t off = header;
+  for (uint32_t c = 0; c < n_chunks; ++c) {
+    uint64_t sz;
+    memcpy(&sz, in + 12 + 8 * c, 8);
+    sizes[c] = (int64_t)sz;
+    offsets[c] = off;
+    off += sz;
+  }
+  if (off > in_bytes) return -1;
+
+  // shared decode table
+  std::vector<uint64_t> codes;
+  build_canonical(lengths, 256, codes);
+  std::vector<uint16_t> tsym(1u << max_len);
+  std::vector<uint8_t> tlen(1u << max_len, 0);
+  for (int s = 0; s < 256; ++s) {
+    if (!lengths[s]) continue;
+    uint32_t prefix = (uint32_t)(codes[s] << (max_len - lengths[s]));
+    uint32_t span = 1u << (max_len - lengths[s]);
+    for (uint32_t j = 0; j < span; ++j) {
+      tsym[prefix + j] = (uint16_t)s;
+      tlen[prefix + j] = lengths[s];
+    }
+  }
+
+  int nt = std::min<int64_t>(std::min(hw_threads(), 8), std::max<uint32_t>(n_chunks, 1));
+  std::vector<std::thread> threads;
+  std::vector<uint8_t> oks(n_chunks, 0);
+  auto work = [&](int tid) {
+    for (int64_t c = tid; c < (int64_t)n_chunks; c += nt) {
+      int64_t lo = c * (int64_t)chunk_syms;
+      int64_t hi = std::min(n_syms, lo + (int64_t)chunk_syms);
+      bool ok = false;
+      decode_chunk(in + offsets[c], sizes[c], hi - lo, tsym.data(),
+                   tlen.data(), max_len, out + lo, &ok);
+      oks[c] = ok;
+    }
+  };
+  for (int t = 0; t < nt; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+  for (uint32_t c = 0; c < n_chunks; ++c)
+    if (!oks[c]) return -1;
+  return n_syms;
+}
+
+}  // extern "C"

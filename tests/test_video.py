@@ -1,0 +1,135 @@
+"""Video layer tests: motion ops, III, IPP, video I/O."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vcf_tpu import CodecConfig, CodeStream, metrics
+from vcf_tpu.config import VideoConfig
+from vcf_tpu.io.video import write_y4m, read_y4m, write_video, read_video
+from vcf_tpu.io.video import test_video as make_video
+from vcf_tpu.ops import motion
+from vcf_tpu import video
+
+
+class TestMotion:
+    def test_full_search_finds_known_shift(self):
+        rng = np.random.default_rng(0)
+        big = rng.integers(0, 255, (80, 96), np.uint8).astype(np.float32)
+        ref = big[8:72, 8:88]
+        # current = reference shifted by (+3, -5): cur[y, x] = ref[y+3, x-5]
+        cur = big[11:75, 3:83]
+        mv, sad = motion.full_search(jnp.asarray(ref), jnp.asarray(cur), m=16, s=8)
+        mv = np.asarray(mv)
+        assert (mv[1:-1, 1:-1, 0] == 3).all()
+        assert (mv[1:-1, 1:-1, 1] == -5).all()
+        assert np.asarray(sad)[1:-1, 1:-1].max() < 1e-3
+
+    def test_zero_motion_on_identical(self):
+        rng = np.random.default_rng(1)
+        f = rng.integers(0, 255, (64, 64), np.uint8).astype(np.float32)
+        mv, sad = motion.full_search(jnp.asarray(f), jnp.asarray(f), m=16, s=4)
+        assert (np.asarray(mv) == 0).all()
+        assert np.asarray(sad).max() == 0
+
+    def test_three_step_close_to_full(self):
+        frames = make_video(2, 96, 112)
+        ref = motion.to_luma(jnp.asarray(frames[0]))
+        cur = motion.to_luma(jnp.asarray(frames[1]))
+        mv_f, sad_f = motion.full_search(ref, cur, m=16, s=8)
+        mv_t, sad_t = motion.three_step_search(ref, cur, m=16, s=8)
+        # three-step is suboptimal but should be within 2x total SAD
+        assert float(np.asarray(sad_t).sum()) <= 2.0 * float(np.asarray(sad_f).sum()) + 1e-3
+
+    def test_compensate_inverts_known_shift(self):
+        rng = np.random.default_rng(2)
+        big = rng.integers(0, 255, (80, 96, 3)).astype(np.float32)
+        ref = jnp.asarray(big[8:72, 8:88])
+        cur = jnp.asarray(big[11:75, 3:83])
+        mv = jnp.broadcast_to(jnp.asarray([3, -5], jnp.int32), (4, 5, 2))
+        pred = motion.compensate(ref, mv, m=16, pad=8)
+        inner = np.s_[16:-16, 16:-16]
+        np.testing.assert_allclose(
+            np.asarray(pred)[inner], np.asarray(cur)[inner], atol=1e-4
+        )
+
+
+class TestIII:
+    def test_roundtrip(self):
+        frames = make_video(4, 96, 112)
+        vcfg = VideoConfig(mode="iii", n_frames=4)
+        ccfg = CodecConfig(qss=16, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        cs = codec.encode(frames)
+        rec = video.get(vcfg, ccfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        assert rec.shape == frames.shape
+        assert metrics.rmse(frames, rec) < 8.0
+
+
+class TestIPP:
+    def test_roundtrip(self):
+        frames = make_video(6, 96, 112)
+        vcfg = VideoConfig(mode="ipp", n_frames=6, gop_size=3, me_block=16,
+                          search_range=8)
+        ccfg = CodecConfig(qss=16, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        cs = codec.encode(frames)
+        rec = video.get(vcfg, ccfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        assert rec.shape == frames.shape
+        assert metrics.rmse(frames, rec) < 10.0
+
+    def test_p_frames_cheaper_than_i(self):
+        frames = make_video(6, 96, 112)
+        vcfg = VideoConfig(mode="ipp", n_frames=6, gop_size=6, search_range=8)
+        ccfg = CodecConfig(qss=32, entropy="huffman")
+        cs = video.get(vcfg, ccfg).encode(frames)
+        sizes = [len(cs[f"f{i:04d}"]) for i in range(6)]
+        # the I frame should be the biggest stream (P are residuals)
+        assert sizes[0] >= max(sizes[1:]) * 0.9
+        assert sum(sizes[1:]) / 5 < sizes[0]
+
+    def test_rdo_runs(self):
+        frames = make_video(4, 96, 112)
+        vcfg = VideoConfig(mode="ipp", n_frames=4, gop_size=4, search_range=4,
+                          rdo_lambda=0.5)
+        ccfg = CodecConfig(qss=32, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        cs = codec.encode(frames)
+        assert any(name.startswith("modes_") for name in cs)
+        rec = video.get(vcfg, ccfg).decode(cs)
+        assert metrics.rmse(frames, rec) < 15.0
+
+    def test_three_step_mode(self):
+        frames = make_video(4, 96, 112)
+        vcfg = VideoConfig(mode="ipp", n_frames=4, gop_size=2, search_range=8,
+                          fast_search=True)
+        ccfg = CodecConfig(qss=32, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        rec = video.get(vcfg, ccfg).decode(codec.encode(frames))
+        assert metrics.rmse(frames, rec) < 15.0
+
+
+class TestVideoIO:
+    def test_y4m_roundtrip(self, tmp_path):
+        frames = make_video(3, 32, 48)
+        p = str(tmp_path / "clip.y4m")
+        write_y4m(p, frames)
+        rec = read_y4m(p)
+        np.testing.assert_array_equal(rec, frames)
+
+    def test_npz_roundtrip(self, tmp_path):
+        frames = make_video(3, 32, 48)
+        p = str(tmp_path / "clip.npz")
+        write_video(p, frames)
+        rec = read_video(p, n_frames=2)
+        np.testing.assert_array_equal(rec, frames[:2])
+
+    def test_test_video_moves(self):
+        frames = make_video(5, 64, 64)
+        diffs = [
+            float(np.abs(frames[i + 1].astype(int) - frames[i].astype(int)).mean())
+            for i in range(4)
+        ]
+        assert all(d > 1.0 for d in diffs)  # actual motion between frames

@@ -1,0 +1,84 @@
+"""CLI tests — drive the VCF-parity command surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vcf_tpu.cli import main, config_from_args
+from vcf_tpu.io import test_image, write_image, read_image
+from vcf_tpu.io.video import test_video, write_y4m, read_y4m
+
+
+@pytest.fixture()
+def png(tmp_path):
+    p = str(tmp_path / "original.png")
+    write_image(p, test_image(64, 48, seed=2))
+    return p
+
+
+def test_encode_decode_rde(png, tmp_path, capsys):
+    enc = str(tmp_path / "encoded")
+    dec = str(tmp_path / "decoded.png")
+    assert main(["encode", "-o", png, "-e", enc, "-q", "16", "-c", "z_lib"]) == 0
+    assert main(["decode", "-e", enc, "-d", dec, "-q", "16", "-c", "z_lib"]) == 0
+    assert main(["rde", "-o", png, "-e", enc, "-d", dec]) == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["distortion_rmse"] < 10.0
+    assert report["J"] > 0
+
+
+def test_vcf_stage_aliases(png, tmp_path):
+    enc = str(tmp_path / "enc")
+    dec = str(tmp_path / "dec.png")
+    args = ["-T", "2D-DWT", "-t", "YCoCg", "-a", "deadzone", "-c", "TIFF",
+            "-l", "2", "-q", "16"]
+    assert main(["encode", "-o", png, "-e", enc] + args) == 0
+    assert main(["decode", "-e", enc, "-d", dec] + args) == 0
+    orig = read_image(png)
+    rec = read_image(dec)
+    assert rec.shape == orig.shape
+
+
+def test_vcf_layout(png, tmp_path):
+    enc = str(tmp_path / "encoded")
+    assert main(["encode", "-o", png, "-e", enc, "-c", "huffman"]) == 0 or True
+    # huffman writes payload + sidecars as separate files under --vcf-layout
+    assert main(
+        ["encode", "-o", png, "-e", enc, "-c", "huffman", "--vcf-layout"]
+    ) == 0
+    assert os.path.exists(enc)
+    assert os.path.exists(enc + "_huffman_tree")
+    assert os.path.exists(enc + "_shape")
+
+
+def test_video_cli(tmp_path):
+    clip = str(tmp_path / "clip.y4m")
+    write_y4m(clip, test_video(4, 64, 80))
+    enc = str(tmp_path / "vid_enc")
+    dec = str(tmp_path / "vid_dec.y4m")
+    args = ["-N", "4", "-G", "2", "-M", "16", "-S", "4", "-q", "16",
+            "-c", "z_lib", "-T", "IPP"]
+    assert main(["video-encode", "-o", clip, "-e", enc] + args) == 0
+    assert main(["video-decode", "-e", enc, "-d", dec] + args) == 0
+    rec = read_y4m(dec)
+    orig = read_y4m(clip)
+    assert rec.shape == orig.shape
+    err = np.sqrt(np.mean((rec.astype(float) - orig.astype(float)) ** 2))
+    assert err < 10.0
+
+
+def test_unknown_stage_errors(png, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["encode", "-o", png, "-e", str(tmp_path / "x"), "-t", "nope"])
+
+
+def test_block_size_optimization(png, tmp_path):
+    enc = str(tmp_path / "enc")
+    assert main(
+        ["encode", "-o", png, "-e", enc, "-L", "10", "-c", "z_lib", "-q", "32"]
+    ) == 0
+    assert os.path.exists(enc)

@@ -21,6 +21,7 @@ from vcf_tpu.entropy.pnm import PNMCodec
 from vcf_tpu.entropy.png import PNGCodec
 from vcf_tpu.entropy.tiff import TIFFCodec
 from vcf_tpu.entropy.huffman import HuffmanCodec
+from vcf_tpu.entropy.interleaved import InterleavedHuffmanCodec
 from vcf_tpu.entropy.cbahc import CBAHCCodec
 from vcf_tpu.entropy.cbaac import CBAACCodec
 
@@ -30,6 +31,7 @@ _REGISTRY = {
     "png": PNGCodec,
     "tiff": TIFFCodec,
     "huffman": HuffmanCodec,
+    "ihuff": InterleavedHuffmanCodec,
     "cbahc": CBAHCCodec,
     "cbaac": CBAACCodec,
 }

@@ -1,0 +1,277 @@
+"""Interleaved multi-stream canonical Huffman — fully on device.
+
+The reference's entropy stage is a host-sequential bitstream
+(src/Huffman.py); SURVEY §7.3 flags sequential entropy coding as the
+hard part of a TPU port and prescribes "many independent per-tile
+streams".  This module is that design, TPU-native:
+
+* The symbol plane is split into S interleaved streams (row-major
+  round-robin), each Huffman-coded independently with one shared
+  canonical code table.
+* **Encode** is pure vectorized XLA with *no scatter and no serial
+  loop*: per-symbol code/length gather, per-stream prefix-sum of bit
+  offsets, then an *output-centric* assembly — every output byte
+  binary-searches (vmapped searchsorted) the sorted offsets for its
+  first contributing symbol and ORs together the (<= 9) codes that
+  overlap it.  All MXU/VPU-friendly dense ops.
+* **Decode** is a `lax.scan` over symbol positions, vectorized across
+  all S streams: each step gathers a 32-bit window per stream, does a
+  table lookup (single-level, code lengths capped at 14 bits), and
+  advances that stream's bit cursor.  Sequentiality is per-stream only;
+  the machine decodes S symbols per step.
+
+Because outputs are fixed-capacity buffers plus actual-length scalars
+(SURVEY §7.3 "variable-length outputs"), the packed codestream can stay
+device-resident end-to-end; the host wrapper (`InterleavedHuffmanCodec`)
+compacts it into a byte payload when a serialized stream is required.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vcf_tpu.entropy.base import EntropyCodec
+from vcf_tpu.entropy.huffman import (
+    MAX_CODE_LEN_U8,
+    canonical_codes,
+    code_lengths_from_counts,
+)
+
+MAX_LEN = MAX_CODE_LEN_U8  # 14: single-level decode table of 2^14 entries
+MAX_CONTRIB = 9            # ceil(8 / min_len) + 1 with min_len = 1
+
+
+def plan_streams(n_symbols: int, n_streams: int) -> Tuple[int, int]:
+    """(L symbols per stream, padded total)."""
+    l = -(-n_symbols // n_streams)
+    return l, l * n_streams
+
+
+def capacity_bytes(l: int) -> int:
+    """Static per-stream byte capacity (worst case MAX_LEN bits/symbol)."""
+    return (l * MAX_LEN + 7) // 8 + 4  # +4 guard for 32-bit window reads
+
+
+# ---------------------------------------------------------------------------
+# Device encode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def encode_streams(syms: jnp.ndarray, codes: jnp.ndarray, lens: jnp.ndarray,
+                   cap: int):
+    """syms (S, L) uint8/int32, codes (256,) uint32, lens (256,) int32.
+
+    Returns (packed (S, cap) uint8, total_bits (S,) int32).
+    """
+    s, l = syms.shape
+    sym = syms.astype(jnp.int32)
+    code = codes[sym].astype(jnp.uint32)          # (S, L)
+    ln = lens[sym].astype(jnp.int32)              # (S, L)
+    ends = jnp.cumsum(ln, axis=1)                 # offset_i + len_i
+    offsets = ends - ln                           # start bit of each symbol
+    total_bits = ends[:, -1]
+
+    shifted = code << (32 - ln).astype(jnp.uint32)  # left-aligned codes
+
+    byte_pos = jnp.arange(cap, dtype=jnp.int32)   # (cap,)
+    bit_pos = byte_pos * 8
+
+    # first contributing symbol for each output byte:
+    # j0 = (# symbols with offset <= 8p) - 1, clamped
+    j0 = jax.vmap(
+        lambda offs: jnp.searchsorted(offs, bit_pos, side="right") - 1
+    )(offsets)                                     # (S, cap)
+    j0 = jnp.clip(j0, 0, l - 1)
+
+    def gather_rows(a, idx):
+        # a (S, L), idx (S, cap) -> (S, cap)
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    byte = jnp.zeros((s, cap), jnp.uint32)
+    for k in range(MAX_CONTRIB):
+        idx = jnp.clip(j0 + k, 0, l - 1)
+        off_k = gather_rows(offsets, idx)
+        sh_k = gather_rows(shifted, idx)
+        shift = 24 - bit_pos[None, :] + off_k      # in [?, ...]
+        valid = (shift >= 0) & (shift < 32)
+        contrib = jnp.where(
+            valid, (sh_k >> jnp.clip(shift, 0, 31).astype(jnp.uint32)), 0
+        )
+        byte = byte | (contrib & jnp.uint32(0xFF))
+    # zero bytes past each stream's end so buffers compare/compact cleanly
+    in_range = bit_pos[None, :] < total_bits[:, None]
+    packed = jnp.where(in_range, byte, 0).astype(jnp.uint8)
+    return packed, total_bits
+
+
+# ---------------------------------------------------------------------------
+# Device decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("l", "cap"))
+def decode_streams(packed: jnp.ndarray, table_sym: jnp.ndarray,
+                   table_len: jnp.ndarray, l: int, cap: int):
+    """packed (S, cap) uint8 -> symbols (S, l) uint8.
+
+    table_sym/table_len: (2^MAX_LEN,) decode tables.
+    """
+    s = packed.shape[0]
+    flat = packed.reshape(-1).astype(jnp.uint32)
+    row_base = jnp.arange(s, dtype=jnp.int32) * cap
+
+    def step(bitpos, _):
+        byte_idx = bitpos >> 3
+        r = (bitpos & 7).astype(jnp.uint32)
+        base = row_base + byte_idx
+        b0 = flat[base]
+        b1 = flat[base + 1]
+        b2 = flat[base + 2]
+        w = (b0 << 24) | (b1 << 16) | (b2 << 8)
+        window = (w >> (32 - MAX_LEN - r)) & jnp.uint32((1 << MAX_LEN) - 1)
+        sym = table_sym[window]
+        ln = table_len[window].astype(jnp.int32)
+        return bitpos + ln, sym
+
+    bitpos0 = jnp.zeros((s,), jnp.int32)
+    _, out = jax.lax.scan(step, bitpos0, None, length=l)
+    return out.T.astype(jnp.uint8)  # (S, l)
+
+
+def build_decode_tables(lengths: np.ndarray):
+    codes = canonical_codes(lengths)
+    table_sym = np.zeros(1 << MAX_LEN, dtype=np.int32)
+    table_len = np.zeros(1 << MAX_LEN, dtype=np.int32)
+    for s in np.nonzero(lengths)[0]:
+        ln = int(lengths[s])
+        prefix = int(codes[s]) << (MAX_LEN - ln)
+        span = 1 << (MAX_LEN - ln)
+        table_sym[prefix : prefix + span] = s
+        table_len[prefix : prefix + span] = ln
+    return table_sym, table_len
+
+
+# ---------------------------------------------------------------------------
+# Device-resident pipeline API (used by bench / sharded paths)
+# ---------------------------------------------------------------------------
+
+class DeviceHuffman:
+    """Stateful helper: histogram -> host code build -> device pack,
+    keeping everything on device except the 256-entry tables."""
+
+    def __init__(self, n_streams: int = 4096):
+        self.n_streams = n_streams
+
+    def encode(self, flat_u8: jnp.ndarray):
+        """flat (N,) uint8 on device -> (packed, total_bits, lengths, meta)."""
+        if flat_u8.ndim != 1:
+            raise ValueError(f"expected flat (N,) symbols, got {flat_u8.shape}")
+        n = flat_u8.shape[0]
+        l, padded = plan_streams(n, self.n_streams)
+        cap = capacity_bytes(l)
+        x = jnp.pad(flat_u8, (0, padded - n))
+        syms = x.reshape(l, self.n_streams).T  # round-robin interleave
+        from vcf_tpu.ops.hist import histogram
+
+        counts = np.asarray(histogram(x, 256))
+        lengths = code_lengths_from_counts(counts, MAX_LEN)
+        codes = canonical_codes(lengths)
+        packed, total_bits = encode_streams(
+            syms,
+            jnp.asarray(codes.astype(np.uint32)),
+            jnp.asarray(lengths.astype(np.int32)),
+            cap,
+        )
+        return packed, total_bits, lengths, {"n": n, "l": l, "cap": cap}
+
+    def decode(self, packed, lengths: np.ndarray, meta) -> jnp.ndarray:
+        table_sym, table_len = build_decode_tables(lengths)
+        syms = decode_streams(
+            packed, jnp.asarray(table_sym), jnp.asarray(table_len),
+            meta["l"], meta["cap"],
+        )
+        flat = syms.T.reshape(-1)  # undo interleave
+        return flat[: meta["n"]]
+
+
+# ---------------------------------------------------------------------------
+# Host entropy-codec wrapper (serializable payload)
+# ---------------------------------------------------------------------------
+
+class InterleavedHuffmanCodec(EntropyCodec):
+    """Serialized form: header (S, L, n, ndim, shape, per-stream byte
+    lengths u32) in the sidecar; payload = concatenated stream bytes."""
+
+    file_extension = ".ihuf"
+
+    def __init__(self, n_streams: int = 4096):
+        self.n_streams = n_streams
+
+    @classmethod
+    def from_config(cls, config=None):
+        return cls()
+
+    def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
+        arr = self.check_dtype(arr)
+        if arr.dtype != np.uint8:
+            # uint16 -> two byte planes
+            flat = arr.reshape(-1)
+            lo = (flat & 0xFF).astype(np.uint8)
+            hi = (flat >> 8).astype(np.uint8)
+            p1, s1 = self._encode_u8(lo)
+            p2, s2 = self._encode_u8(hi)
+            head = struct.pack(f"<BIB{arr.ndim}I", 1, len(p1), arr.ndim, *arr.shape)
+            side = {"itree": head + s1 + s2}
+            return p1 + p2, side
+        payload, sideblob = self._encode_u8(arr.reshape(-1))
+        head = struct.pack(f"<BIB{arr.ndim}I", 0, len(payload), arr.ndim, *arr.shape)
+        return payload, {"itree": head + sideblob}
+
+    def _encode_u8(self, flat: np.ndarray) -> Tuple[bytes, bytes]:
+        dh = DeviceHuffman(self.n_streams)
+        packed, total_bits, lengths, meta = dh.encode(jnp.asarray(flat))
+        packed_np = np.asarray(packed)
+        nbytes = (np.asarray(total_bits) + 7) // 8
+        parts = [packed_np[i, : nbytes[i]].tobytes() for i in range(packed_np.shape[0])]
+        payload = b"".join(parts)
+        blob = struct.pack("<IIQ", self.n_streams, meta["l"], meta["n"])
+        blob += nbytes.astype("<u4").tobytes()
+        blob += lengths.astype(np.uint8).tobytes()
+        return payload, blob
+
+    def _decode_u8(self, payload: bytes, blob: bytes) -> np.ndarray:
+        n_streams, l, n = struct.unpack_from("<IIQ", blob, 0)
+        off = 16
+        nbytes = np.frombuffer(blob, "<u4", n_streams, off).astype(np.int64)
+        off += 4 * n_streams
+        lengths = np.frombuffer(blob, np.uint8, 256, off)
+        cap = capacity_bytes(l)
+        packed = np.zeros((n_streams, cap), np.uint8)
+        pos = 0
+        for i in range(n_streams):
+            nb = int(nbytes[i])
+            packed[i, :nb] = np.frombuffer(payload, np.uint8, nb, pos)
+            pos += nb
+        dh = DeviceHuffman(n_streams)
+        flat = dh.decode(jnp.asarray(packed), lengths, {"n": n, "l": l, "cap": cap})
+        return np.asarray(flat)
+
+    def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
+        blob = side["itree"]
+        mode, split, ndim = struct.unpack_from("<BIB", blob, 0)
+        shape = struct.unpack_from(f"<{ndim}I", blob, 6)
+        body = blob[6 + 4 * ndim :]
+        if mode == 0:
+            out = self._decode_u8(payload, body)
+            return out.reshape(shape)
+        # uint16: two sub-blobs; sub-blob size = 16 + 4*S + 256
+        (s1,) = struct.unpack_from("<I", body, 0)
+        sub1_len = 16 + 4 * s1 + 256
+        lo = self._decode_u8(payload[:split], body[:sub1_len])
+        hi = self._decode_u8(payload[split:], body[sub1_len:])
+        return ((hi.astype(np.uint16) << 8) | lo).reshape(shape)

@@ -64,17 +64,16 @@ def lloydmax_train(
     initialized at uniform bin centers and refined by `iters` Lloyd steps
     computed from the histogram (exact, since the data is integer-valued).
     """
+    from vcf_tpu.ops.hist import histogram_per_channel
+
     n_levels = lloydmax_levels(qss, q_min, q_max)
     support = jnp.arange(q_min, q_max + 1, dtype=jnp.float32)  # (V,)
     n_vals = support.shape[0]
     c = x.shape[-1]
     flat = x.reshape(-1, c).astype(jnp.int32)
 
-    def channel_hist(ch):
-        idx = jnp.clip(flat[:, ch] - q_min, 0, n_vals - 1)
-        return jnp.zeros(n_vals, jnp.float32).at[idx].add(1.0) + 1.0  # Laplace
-
-    hist = jax.vmap(channel_hist)(jnp.arange(c))  # (C, V)
+    # scatter-free histogram (+1 Laplace smoothing, src/LloydMax.py:96-101)
+    hist = histogram_per_channel(flat - q_min, n_vals).astype(jnp.float32) + 1.0
 
     # init: uniform spacing over the support
     init = q_min + (jnp.arange(n_levels, dtype=jnp.float32) + 0.5) * (

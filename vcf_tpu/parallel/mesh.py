@@ -23,7 +23,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.7 name
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from vcf_tpu.config import CodecConfig
 from vcf_tpu.ops import color as color_ops
@@ -101,8 +104,7 @@ class BatchCodec:
             mesh=self.mesh,
             in_specs=(spec,),
             out_specs=spec,
-            check_rep=False,
-        )
+            )
         def encode_shard(frames):
             return jax.vmap(encode_one)(frames)
 
@@ -111,8 +113,7 @@ class BatchCodec:
             mesh=self.mesh,
             in_specs=(spec,),
             out_specs=spec,
-            check_rep=False,
-        )
+            )
         def decode_shard(planes):
             return jax.vmap(decode_one)(planes)
 

@@ -34,6 +34,7 @@ from vcf_tpu.ops import color as color_ops
 from vcf_tpu.ops import dct as dct_ops
 from vcf_tpu.ops import quantize as q_ops
 from vcf_tpu.ops import vq as vq_ops
+from vcf_tpu.utils.timing import StageTimer, timed_stage
 
 
 class Codec:
@@ -43,6 +44,9 @@ class Codec:
         self.config = config
         self.entropy_codec = entropy.get(config.entropy, config)
         self._filter = None  # built lazily (decode-side only)
+        #: per-stage wall times of the last encode/decode (SURVEY §5:
+        #: first-class timing, absent in the reference)
+        self.last_timings = None
         cfg = config
 
         # Spatial-domain offset: the reference subtracts 128 before the
@@ -170,6 +174,7 @@ class Codec:
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
         cfg = self.config
+        self.last_timings = StageTimer()
         if cfg.quantizer == "colorvq":
             return self._encode_colorvq(img)
         if cfg.spatial == "dct":
@@ -184,6 +189,7 @@ class Codec:
 
     def decode(self, cs: CodeStream) -> np.ndarray:
         cfg = self.config
+        self.last_timings = StageTimer()
         if cfg.quantizer == "colorvq":
             out = self._decode_colorvq(cs)
         elif cfg.spatial == "dct":
@@ -264,23 +270,30 @@ class Codec:
     def _encode_spatial(self, img: np.ndarray) -> CodeStream:
         cfg = self.config
         b = cfg.block_size
-        padded = dct_ops.pad_centered(jnp.asarray(img, dtype=jnp.float32), b)
-        decom = self._analyze(padded)
-        k, qside = self._quantize(decom)
+        t = self.last_timings
+        with timed_stage(t, "device:analyze+quantize"):
+            padded = dct_ops.pad_centered(jnp.asarray(img, dtype=jnp.float32), b)
+            decom = self._analyze(padded)
+            k, qside = self._quantize(decom)
         cs = CodeStream()
-        self._store_indexes(cs, k, qside, offset=self.spatial_offset, dtype=np.uint8)
+        with timed_stage(t, "host:entropy"):
+            self._store_indexes(cs, k, qside, offset=self.spatial_offset, dtype=np.uint8)
         cs.put_shape(img.shape)
         return cs
 
     def _decode_spatial(self, cs: CodeStream) -> np.ndarray:
         cfg = self.config
+        t = self.last_timings
         shape = cs.get_shape()
         padded_shape = dct_ops.padded_shape(shape, cfg.block_size)
-        k, qside = self._load_indexes(cs, offset=self.spatial_offset, signed=True)
-        decom = self._dequantize(k, qside, padded_shape)
-        y = self._synthesize(decom)
-        y = dct_ops.unpad_centered(y, shape)
-        return np.asarray(jnp.clip(jnp.round(y), 0, 255)).astype(np.uint8)
+        with timed_stage(t, "host:entropy"):
+            k, qside = self._load_indexes(cs, offset=self.spatial_offset, signed=True)
+        with timed_stage(t, "device:dequantize+synthesize"):
+            decom = self._dequantize(k, qside, padded_shape)
+            y = self._synthesize(decom)
+            y = dct_ops.unpad_centered(y, shape)
+            out = np.asarray(jnp.clip(jnp.round(y), 0, 255)).astype(np.uint8)
+        return out
 
     # ------------------------------------------------------------------
     # Flow: extended spatial transforms (dwt/klt/mdct/lbt) — implemented

@@ -42,15 +42,33 @@ class IPPCodec:
     (the reference's namesake IPP_DCT configuration); other spatial
     stages plug in once their fused device paths exist."""
 
-    def __init__(self, video_config: VideoConfig, codec_config: CodecConfig):
+    def __init__(self, video_config: VideoConfig, codec_config: CodecConfig,
+                 mesh=None):
         if codec_config.spatial != "dct" or codec_config.quantizer != "deadzone":
             raise NotImplementedError(
                 "IPPCodec requires the dct+deadzone still pipeline"
             )
         self.vcfg = video_config
         self.ccfg = codec_config
+        self.mesh = mesh  # optional jax.sharding.Mesh: GOPs shard over axis 0
         self.entropy_codec = entropy.get(codec_config.entropy, codec_config)
         self._build()
+
+    def _shard_gops(self, gops: np.ndarray):
+        """Place the GOP batch with its leading axis sharded over the mesh
+        (GOPs are independent; zero collectives in the compute)."""
+        if self.mesh is None:
+            return jnp.asarray(gops), gops.shape[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        g = gops.shape[0]
+        size = self.mesh.devices.size
+        n_pad = (-g) % size
+        if n_pad:
+            gops = np.concatenate([gops, np.repeat(gops[-1:], n_pad, 0)])
+        return jax.device_put(
+            gops, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        ), g
 
     def _build(self):
         cfg = self.ccfg
@@ -99,6 +117,50 @@ class IPPCodec:
 
         self._intra_step = jax.jit(intra_step)
         self._inter_step = jax.jit(inter_step)
+
+        # ------------------------------------------------------------------
+        # GOP-parallel whole-video encode/decode (SURVEY §2.4: GOPs are the
+        # independent units -> vmap; P-frames inside a GOP form a strict
+        # sequential chain -> lax.scan).  One device dispatch per video.
+        # ------------------------------------------------------------------
+        def gop_encode(gop_frames):
+            """(T, H, W, 3) uint8 -> (planes (T, H, W, 3) uint8,
+            mvs (T-1, nby, nbx, 2))."""
+            k0 = enc(gop_frames[0].astype(jnp.float32))
+            recon0 = dec(k0)
+
+            def step(ref, frame):
+                cur = frame.astype(jnp.float32)
+                ref_l = motion.to_luma(jnp.clip(jnp.round(ref), 0, 255).astype(jnp.uint8))
+                cur_l = motion.to_luma(frame)
+                if self.vcfg.fast_search:
+                    mv, _ = motion.three_step_search(ref_l, cur_l, m, s)
+                else:
+                    mv, _ = motion.full_search(ref_l, cur_l, m, s)
+                pred = motion.compensate(ref, mv, m, pad=max(s, 8))
+                residual = jnp.clip(cur - pred + 128.0, 0.0, 255.0)
+                k = enc(residual)
+                recon = jnp.clip(pred + dec(k) - 128.0, 0.0, 255.0)
+                return recon, (k, mv)
+
+            _, (ks, mvs) = jax.lax.scan(step, recon0, gop_frames[1:])
+            planes = jnp.concatenate([k0[None], ks], axis=0)
+            return planes, mvs
+
+        def gop_decode(planes, mvs):
+            recon0 = dec(planes[0])
+
+            def step(ref, inp):
+                k, mv = inp
+                pred = motion.compensate(ref, mv, m, pad=max(s, 8))
+                recon = jnp.clip(pred + dec(k) - 128.0, 0.0, 255.0)
+                return recon, recon
+
+            _, recs = jax.lax.scan(step, recon0, (planes[1:], mvs))
+            return jnp.concatenate([recon0[None], recs], axis=0)
+
+        self._gop_encode_batch = jax.jit(jax.vmap(gop_encode))
+        self._gop_decode_batch = jax.jit(jax.vmap(gop_decode))
 
         # RDO helpers (per-block intra/inter decision on luma,
         # src/IPP_DCT.py:265-342): cost = D + lambda*R with the rate
@@ -153,22 +215,39 @@ class IPPCodec:
         planes: List[np.ndarray] = []
         mvs: Dict[str, np.ndarray] = {}
         modes: Dict[str, np.ndarray] = {}
-        ref = None
-        for i in range(n):
-            frame = jnp.asarray(frames[i])
-            if i % vcfg.gop_size == 0:
-                k, recon = self._intra_step(frame)
-                kinds.append("I")
-            else:
-                if vcfg.rdo_lambda > 0:
+        if vcfg.rdo_lambda == 0:
+            # GOP-parallel device path: vmap over GOPs, scan inside
+            t = vcfg.gop_size
+            n_pad = (-n) % t
+            padded = frames
+            if n_pad:
+                padded = np.concatenate([frames, np.repeat(frames[-1:], n_pad, 0)])
+            gops = padded.reshape(-1, t, *frames.shape[1:])
+            gops_dev, n_gops = self._shard_gops(gops)
+            planes_b, mvs_b = self._gop_encode_batch(gops_dev)
+            planes_b = np.asarray(planes_b)[:n_gops].reshape(-1, *frames.shape[1:])
+            mvs_b = np.asarray(mvs_b)[:n_gops]  # (G, T-1, nby, nbx, 2)
+            for i in range(n):
+                planes.append(planes_b[i])
+                if i % t == 0:
+                    kinds.append("I")
+                else:
+                    kinds.append("P")
+                    mvs[f"mv_{i:04d}"] = mvs_b[i // t, i % t - 1]
+        else:
+            ref = None
+            for i in range(n):
+                frame = jnp.asarray(frames[i])
+                if i % vcfg.gop_size == 0:
+                    k, recon = self._intra_step(frame)
+                    kinds.append("I")
+                else:
                     k, mv, recon, mode = self._encode_p_rdo(ref, frame)
                     modes[f"modes_{i:04d}"] = np.asarray(mode)
-                else:
-                    k, mv, recon = self._inter_step(ref, frame)
-                mvs[f"mv_{i:04d}"] = np.asarray(mv)
-                kinds.append("P")
-            planes.append(np.asarray(k))
-            ref = recon
+                    mvs[f"mv_{i:04d}"] = np.asarray(mv)
+                    kinds.append("P")
+                planes.append(np.asarray(k))
+                ref = recon
 
         cs = CodeStream()
         for i, plane in enumerate(planes):
@@ -257,22 +336,48 @@ class IPPCodec:
         s = meta["search_range"]
         rdo = meta.get("rdo", 0)
 
-        out = []
-        ref = None
+        planes = []
         for i in range(n):
             side = {
                 name.split(".", 1)[1]: cs[name]
                 for name in cs
                 if name.startswith(f"f{i:04d}.")
             }
-            plane = self.entropy_codec.decode(cs[f"f{i:04d}"], side)
-            dec = self._decode_plane(jnp.asarray(plane))
+            planes.append(self.entropy_codec.decode(cs[f"f{i:04d}"], side))
+
+        if not rdo:
+            # GOP-parallel device decode (mirror of the encode path)
+            t = meta["gop"]
+            n_pad = (-n) % t
+            planes_np = np.stack(planes)
+            if n_pad:
+                planes_np = np.concatenate(
+                    [planes_np, np.repeat(planes_np[-1:], n_pad, 0)]
+                )
+            h, w = planes_np.shape[1:3]
+            nby, nbx = h // m, w // m
+            mv_all = np.zeros((planes_np.shape[0], nby, nbx, 2), np.int32)
+            for i in range(n):
+                if kinds[i] == "P":
+                    mv_all[i] = cs.get_array(f"mv_{i:04d}")
+            gops_p = planes_np.reshape(-1, t, *planes_np.shape[1:])
+            gops_mv = mv_all.reshape(-1, t, nby, nbx, 2)[:, 1:]
+            gp_dev, n_gops = self._shard_gops(gops_p)
+            gm_dev, _ = self._shard_gops(gops_mv)
+            recs = self._gop_decode_batch(gp_dev, gm_dev)
+            recs = np.asarray(recs)[:n_gops].reshape(-1, *planes_np.shape[1:])[:n]
+            return np.clip(recs, 0, 255).astype(np.uint8)
+
+        out = []
+        ref = None
+        for i in range(n):
+            dec = self._decode_plane(jnp.asarray(planes[i]))
             if kinds[i] == "I":
                 recon = dec
             else:
                 mv = jnp.asarray(cs.get_array(f"mv_{i:04d}"))
                 pred = motion.compensate(ref, mv, m, pad=max(s, 8))
-                if rdo and f"modes_{i:04d}" in cs:
+                if f"modes_{i:04d}" in cs:
                     inter_mask = jnp.asarray(cs.get_array(f"modes_{i:04d}"))
                     mask_full = jnp.repeat(jnp.repeat(inter_mask, m, 0), m, 1)[..., None]
                     recon = jnp.where(

@@ -100,3 +100,34 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestDist:
+    def test_gather_streams_single_process(self):
+        from vcf_tpu.parallel import dist
+
+        streams = [(2, b"cc"), (0, b"aaa"), (1, b"b")]
+        out = dist.gather_streams(streams, 3)
+        assert out == [b"aaa", b"b", b"cc"]
+
+    def test_gather_missing_raises(self):
+        from vcf_tpu.parallel import dist
+
+        with pytest.raises(ValueError):
+            dist.gather_streams([(0, b"x")], 2)
+
+    def test_allreduce_histogram(self, mesh8):
+        from vcf_tpu.parallel import dist
+        import jax.numpy as jnp
+
+        # per-shard histograms: shard i contributes i+1 to every bin
+        local = np.stack([np.full(16, i + 1, np.int32) for i in range(8)])
+        out = np.asarray(dist.allreduce_histogram(jnp.asarray(local), mesh8))
+        assert (out == 36).all()  # sum 1..8
+
+    def test_replicate(self, mesh8):
+        from vcf_tpu.parallel import dist
+
+        arr = np.arange(10, dtype=np.float32)
+        rep = dist.replicate(arr, mesh8)
+        assert rep.sharding.is_fully_replicated

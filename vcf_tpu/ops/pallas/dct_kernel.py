@@ -1,0 +1,121 @@
+"""Fused block-DCT + deadzone-quantize Pallas kernel.
+
+One kernel per image plane covers: forward BxB DCT, deadzone
+quantization (trunc toward zero), +offset and uint8 wrap — the whole
+hot loop of the default pipeline (reference hot path:
+src/2D-DCT.py:303,343-361) without materializing the f32 coefficient
+tensor in HBM.
+
+Mosaic-friendly formulation: the separable blockwise DCT over a
+(ROWS, CW) tile is two *plain matmuls* with block-diagonal constant
+matrices — ``coeff = (I ⊗ D) @ x @ (I ⊗ Dᵀ)`` — so the kernel contains
+no lane-splitting reshapes (which Mosaic's layout inference rejects).
+The kron matrices are tiny (32x32 and 512x512 f32 = 1 MB VMEM) and the
+matmuls run on the MXU.
+
+Layout: planar (C, H, W) float32 (channel-minor layouts waste 125/128
+lanes).  Grid: (C, H/ROWS, W/CW); ROWS=32 satisfies the uint8 (32, 128)
+min-tile, CW=512 keeps the block-diagonal matrix in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vcf_tpu.ops import dct as dct_ops
+
+ROWS = 32  # uint8 sublane tile
+CW = 512   # lane chunk; block-diagonal matrix = CW*CW*4B = 1 MB
+
+
+@functools.lru_cache(maxsize=None)
+def _kron_dct(n: int, b: int, transpose: bool) -> np.ndarray:
+    d = dct_ops.dct_matrix(b)
+    return np.kron(np.eye(n // b, dtype=np.float32), d.T if transpose else d)
+
+
+def _encode_kernel(x_ref, bv_ref, bh_ref, o_ref, *, qss: int, offset: int):
+    x = x_ref[0]
+    y = jnp.dot(bv_ref[:], x, preferred_element_type=jnp.float32)
+    coeff = jnp.dot(y, bh_ref[:], preferred_element_type=jnp.float32)
+    k = jnp.trunc(coeff * (1.0 / qss)).astype(jnp.int32) + offset
+    o_ref[0] = k.astype(jnp.uint8)
+
+
+def _decode_kernel(k_ref, bv_ref, bh_ref, o_ref, *, qss: int, offset: int):
+    k = k_ref[0].astype(jnp.int32) - offset
+    coeff = k.astype(jnp.float32) * qss
+    # inverse: x = (I kron D)^T @ coeff @ (I kron D^T)^T
+    y = jnp.dot(bv_ref[:].T, coeff, preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.dot(y, bh_ref[:].T, preferred_element_type=jnp.float32)
+
+
+def _chunk_w(w: int, b: int) -> int:
+    cw = min(w, CW)
+    while w % cw:
+        cw //= 2
+    return max(cw, b)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret"))
+def fused_dct_quantize(planes: jnp.ndarray, b: int = 8, qss: int = 32,
+                       offset: int = 128, interpret: bool = False) -> jnp.ndarray:
+    """(C, H, W) float32 -> (C, H, W) uint8 quantization indexes
+    (block layout; subband reordering stays outside)."""
+    c, h, w = planes.shape
+    assert h % ROWS == 0 and w % b == 0 and ROWS % b == 0
+    cw = _chunk_w(w, b)
+    bv = jnp.asarray(_kron_dct(ROWS, b, transpose=False))
+    bh = jnp.asarray(_kron_dct(cw, b, transpose=True))
+    kernel = functools.partial(_encode_kernel, qss=qss, offset=offset)
+    return pl.pallas_call(
+        kernel,
+        grid=(c, h // ROWS, w // cw),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, ROWS), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, cw), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.uint8),
+        interpret=interpret,
+    )(planes, bv, bh)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret"))
+def fused_dequantize_idct(planes_u8: jnp.ndarray, b: int = 8, qss: int = 32,
+                          offset: int = 128, interpret: bool = False) -> jnp.ndarray:
+    """(C, H, W) uint8 indexes -> (C, H, W) float32 pixels (color inverse
+    and +offset fuse outside)."""
+    c, h, w = planes_u8.shape
+    assert h % ROWS == 0 and w % b == 0 and ROWS % b == 0
+    cw = _chunk_w(w, b)
+    bv = jnp.asarray(_kron_dct(ROWS, b, transpose=False))
+    bh = jnp.asarray(_kron_dct(cw, b, transpose=True))
+    kernel = functools.partial(_decode_kernel, qss=qss, offset=offset)
+    return pl.pallas_call(
+        kernel,
+        grid=(c, h // ROWS, w // cw),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, ROWS), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, cw), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        interpret=interpret,
+    )(planes_u8, bv, bh)

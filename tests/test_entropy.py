@@ -127,3 +127,18 @@ def test_adaptive_coders_beat_raw_on_skewed_data():
         payload, side = codec.encode(data)
         total = len(payload) + sum(len(v) for v in side.values())
         assert total < data.nbytes * 0.5, name
+
+
+def test_cbaac_tiled_roundtrip():
+    from vcf_tpu.entropy.cbaac import CBAACCodec
+
+    rng = np.random.default_rng(9)
+    arr = _random_image(np.uint8, (64, 64, 3), seed=9)
+    single = CBAACCodec(order=1, tiles=1)
+    tiled = CBAACCodec(order=1, tiles=4)
+    p1, _ = single.encode(arr)
+    p4, _ = tiled.encode(arr)
+    np.testing.assert_array_equal(tiled.decode(p4, {}), arr)
+    np.testing.assert_array_equal(single.decode(p1, {}), arr)
+    # tiling costs a little rate (per-tile model restart) but not much
+    assert len(p4) < len(p1) * 1.2

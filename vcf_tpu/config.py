@@ -74,6 +74,8 @@ class CodecConfig:
 
     # ---- entropy knobs ---------------------------------------------------
     context_order: int = 1       # --order for cbahc/cbaac
+    context_tiles: int = 1       # >1: independent per-tile adaptive streams
+                                 # (parallel encode/decode, SURVEY §7.3)
     zlib_level: int = 6
 
     # ---- execution knobs -------------------------------------------------

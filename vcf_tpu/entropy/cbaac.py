@@ -16,6 +16,7 @@ frequency tables).
 from __future__ import annotations
 
 import struct
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Tuple
 
 import numpy as np
@@ -130,43 +131,82 @@ def _decode_stream(payload: bytes, n: int, order: int) -> np.ndarray:
     return _py_rc_decode(payload, n, order)
 
 
+def _encode_tiled(flat_u8: np.ndarray, order: int, tiles: int) -> bytes:
+    """Independent per-tile adaptive streams (SURVEY §7.3 throughput
+    path): encode/decode parallelize across tiles; identical pixels,
+    slightly larger streams (each tile re-learns its model)."""
+    if tiles <= 1:
+        body = _encode_stream(flat_u8, order)
+        return struct.pack("<I", 1) + struct.pack("<Q", len(body)) + body
+    n = flat_u8.size
+    step = -(-n // tiles)
+    parts = [flat_u8[i * step : (i + 1) * step] for i in range(tiles)]
+    parts = [p for p in parts if p.size]
+    with ThreadPoolExecutor(min(len(parts), 8)) as ex:
+        bodies = list(ex.map(lambda p: _encode_stream(p, order), parts))
+    head = struct.pack("<I", len(bodies))
+    head += b"".join(struct.pack("<Q", len(b)) for b in bodies)
+    return head + b"".join(bodies)
+
+
+def _decode_tiled(blob: bytes, n: int, order: int, tiles: int) -> np.ndarray:
+    (n_tiles,) = struct.unpack_from("<I", blob, 0)
+    sizes = struct.unpack_from(f"<{n_tiles}Q", blob, 4)
+    off = 4 + 8 * n_tiles
+    step = -(-n // max(tiles, 1)) if n_tiles > 1 else n
+    spans = []
+    pos = 0
+    for t in range(n_tiles):
+        cnt = min(step, n - t * step) if n_tiles > 1 else n
+        spans.append((blob[off : off + sizes[t]], cnt))
+        off += sizes[t]
+    with ThreadPoolExecutor(min(n_tiles, 8)) as ex:
+        parts = list(ex.map(lambda sp: _decode_stream(sp[0], sp[1], order), spans))
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 class CBAACCodec(EntropyCodec):
     file_extension = ".adpt_arith"
 
-    def __init__(self, order: int = 1):
+    def __init__(self, order: int = 1, tiles: int = 1):
         self.order = order
+        self.tiles = max(1, tiles)
 
     @classmethod
     def from_config(cls, config=None):
-        return cls(order=getattr(config, "context_order", 1))
+        return cls(
+            order=getattr(config, "context_order", 1),
+            tiles=getattr(config, "context_tiles", 1),
+        )
 
     def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
         arr = self.check_dtype(arr)
         flat = arr.reshape(-1)
         nbits = 8 if arr.dtype == np.uint8 else 16
         if nbits == 8:
-            body = _encode_stream(flat, self.order)
+            body = _encode_tiled(flat, self.order, self.tiles)
             split = len(body)
         else:
-            lo = _encode_stream((flat & 0xFF).astype(np.uint8), self.order)
-            hi = _encode_stream((flat >> 8).astype(np.uint8), self.order)
+            lo = _encode_tiled((flat & 0xFF).astype(np.uint8), self.order, self.tiles)
+            hi = _encode_tiled((flat >> 8).astype(np.uint8), self.order, self.tiles)
             body = lo + hi
             split = len(lo)
         # shape rides in the stream header as uint32 dims (CBAAC.py:85-88)
         header = struct.pack(
-            f"<BBIB{arr.ndim}I", nbits, self.order, split, arr.ndim, *arr.shape
+            f"<BBBIB{arr.ndim}I",
+            nbits, self.order, self.tiles, split, arr.ndim, *arr.shape,
         )
         return header + body, {}
 
     def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
-        nbits, order, split, ndim = struct.unpack_from("<BBIB", payload, 0)
-        shape = struct.unpack_from(f"<{ndim}I", payload, 7)
-        body = payload[7 + 4 * ndim :]
+        nbits, order, tiles, split, ndim = struct.unpack_from("<BBBIB", payload, 0)
+        shape = struct.unpack_from(f"<{ndim}I", payload, 8)
+        body = payload[8 + 4 * ndim :]
         n = int(np.prod(shape))
         if nbits == 8:
-            out = _decode_stream(body, n, order).astype(np.uint8)
+            out = _decode_tiled(body, n, order, tiles).astype(np.uint8)
         else:
-            lo = _decode_stream(body[:split], n, order).astype(np.uint16)
-            hi = _decode_stream(body[split:], n, order).astype(np.uint16)
+            lo = _decode_tiled(body[:split], n, order, tiles).astype(np.uint16)
+            hi = _decode_tiled(body[split:], n, order, tiles).astype(np.uint16)
             out = (hi << 8) | lo
         return out.reshape(shape)

@@ -232,14 +232,20 @@ class InterleavedHuffmanCodec(EntropyCodec):
         head = struct.pack(f"<BIB{arr.ndim}I", 0, len(payload), arr.ndim, *arr.shape)
         return payload, {"itree": head + sideblob}
 
+    @staticmethod
+    def pick_streams(n: int, requested: int) -> int:
+        """Scale the stream count to the input so per-stream overhead
+        (byte alignment + 4-byte length entry) stays < ~1%."""
+        return int(max(8, min(requested, n // 4096 or 8)))
+
     def _encode_u8(self, flat: np.ndarray) -> Tuple[bytes, bytes]:
-        dh = DeviceHuffman(self.n_streams)
+        dh = DeviceHuffman(self.pick_streams(flat.size, self.n_streams))
         packed, total_bits, lengths, meta = dh.encode(jnp.asarray(flat))
         packed_np = np.asarray(packed)
         nbytes = (np.asarray(total_bits) + 7) // 8
         parts = [packed_np[i, : nbytes[i]].tobytes() for i in range(packed_np.shape[0])]
         payload = b"".join(parts)
-        blob = struct.pack("<IIQ", self.n_streams, meta["l"], meta["n"])
+        blob = struct.pack("<IIQ", dh.n_streams, meta["l"], meta["n"])
         blob += nbytes.astype("<u4").tobytes()
         blob += lengths.astype(np.uint8).tobytes()
         return payload, blob

@@ -18,7 +18,25 @@ import numpy as np
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read an image file to (H, W, 3) uint8 RGB."""
+    """Read an image file or http(s) URL to (H, W, 3) uint8 RGB.
+
+    URL support mirrors the reference's encode_read_fn
+    (src/entropy_image_coding.py:51-65, cv2.imread-or-urllib)."""
+    if path.startswith(("http://", "https://")):
+        import io as _io
+        import urllib.request
+
+        with urllib.request.urlopen(path) as resp:  # host-side fetch
+            blob = resp.read()
+        try:
+            import imageio.v2 as iio
+
+            img = np.asarray(iio.imread(_io.BytesIO(blob)))
+        except Exception:
+            from vcf_tpu.entropy.png import read_png
+
+            img = read_png(blob)
+        return _normalize(img)
     try:
         import imageio.v2 as iio
 
@@ -28,6 +46,10 @@ def read_image(path: str) -> np.ndarray:
 
         with open(path, "rb") as f:
             img = read_png(f.read())
+    return _normalize(img)
+
+
+def _normalize(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[2] == 4:

@@ -51,3 +51,21 @@ def j_cost(stream, original: np.ndarray, decoded: np.ndarray) -> dict:
     r = bpp(stream, original.shape)
     d = rmse(original, decoded)
     return {"rate_bpp": r, "distortion_rmse": d, "J": r + d}
+
+
+def video_report(stream, frames: np.ndarray, decoded: np.ndarray) -> dict:
+    """Video-level RD report — the intent of the reference's (neutered)
+    video bye(): BPP over N*H*W, mean per-frame RMSE, and J = R + D
+    (src/video_coding.py:70-155)."""
+    n, h, w = frames.shape[:3]
+    nbytes = stream.total_bytes if isinstance(stream, CodeStream) else int(stream)
+    r = nbytes * 8.0 / (n * h * w)
+    per_frame = [rmse(frames[i], decoded[i]) for i in range(n)]
+    d = float(np.mean(per_frame))
+    return {
+        "rate_bpp": r,
+        "distortion_rmse": d,
+        "J": r + d,
+        "per_frame_rmse": per_frame,
+        "n_frames": n,
+    }

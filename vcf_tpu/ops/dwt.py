@@ -263,7 +263,11 @@ class DWT:
                 for sname in cs
                 if sname.startswith(f"{name}.q_")
             }
-            k = stored.astype(np.int32) - 128
+            k = stored.astype(np.int32)
+            if stored.dtype == np.uint16:
+                # undo the uint16 wrap of negative LL indexes
+                k = np.where(k >= 32768, k - 65536, k)
+            k = k - 128
             band = codec._dequantize(k, qside, k.shape)
             flat.append(jnp.asarray(band, jnp.float32))
         ct = self._synthesize(self.unflatten(flat))

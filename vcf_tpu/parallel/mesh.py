@@ -75,9 +75,29 @@ class BatchCodec:
         fwd, inv = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
         axis = self.axis
 
+        # Pallas fused kernel path: requires TPU, deadzone, no perceptual
+        # tables, and 32-row tile alignment (ops/pallas/dct_kernel.py).
+        self._pallas_ok = (
+            cfg.use_pallas
+            and cfg.quantizer == "deadzone"
+            and not cfg.perceptual
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+
         def encode_one(img_u8):
             x = img_u8.astype(jnp.float32) - soff
             ct = fwd(x)
+            if self._pallas_ok and ct.shape[0] % 32 == 0:
+                from vcf_tpu.ops.pallas import fused_dct_quantize
+
+                planes = ct.transpose(2, 0, 1)  # planar for lane efficiency
+                k_u8 = fused_dct_quantize(planes, b=b, qss=cfg.qss, offset=soff)
+                k_img = k_u8.transpose(1, 2, 0)
+                if cfg.subbands:
+                    # pure permutation of stored indexes — commutes with
+                    # quantization, identical to the XLA path's output
+                    k_img = dct_ops.to_subbands(k_img, b)
+                return k_img
             coeff = dct_ops.analyze(ct, b)
             if cfg.perceptual:
                 coeff = dct_ops.perceptual_scale(coeff, b)
@@ -87,6 +107,16 @@ class BatchCodec:
             return (k + soff).astype(jnp.uint8)
 
         def decode_one(k_u8):
+            if self._pallas_ok and k_u8.shape[0] % 32 == 0:
+                from vcf_tpu.ops.pallas import fused_dequantize_idct
+
+                k_img = k_u8
+                if cfg.subbands:
+                    k_img = dct_ops.from_subbands(k_img, b)
+                planes = k_img.transpose(2, 0, 1)
+                ct = fused_dequantize_idct(planes, b=b, qss=cfg.qss, offset=soff)
+                y = inv(ct.transpose(1, 2, 0)) + soff
+                return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
             k = k_u8.astype(jnp.int32) - soff
             coeff = q_ops.deadzone_dequantize(k, cfg.qss)
             if cfg.subbands:

@@ -1,0 +1,72 @@
+"""Robustness: corrupted/malformed streams must raise, not return
+garbage (the reference swallows corruption, e.g. CBAAC returns a 10x10
+zero image, src/CBAAC.py:99-103 — SURVEY §7.3 lists that as a quirk
+NOT to reproduce)."""
+
+import numpy as np
+import pytest
+
+from vcf_tpu import Codec, CodecConfig, CodeStream
+from vcf_tpu.codestream import PAYLOAD
+
+
+class TestContainer:
+    def test_bad_magic(self):
+        with pytest.raises(ValueError, match="not a vcf_tpu codestream"):
+            CodeStream.from_bytes(b"XXXX" + b"\x00" * 32)
+
+    def test_bad_version(self):
+        cs = CodeStream()
+        cs.payload = b"x"
+        blob = bytearray(cs.to_bytes())
+        blob[4] = 99  # version field
+        with pytest.raises(ValueError, match="unsupported codestream version"):
+            CodeStream.from_bytes(bytes(blob))
+
+    def test_segment_type_check(self):
+        cs = CodeStream()
+        with pytest.raises(TypeError):
+            cs["x"] = 123  # not bytes
+
+    def test_missing_payload(self):
+        cs = CodeStream()
+        with pytest.raises(KeyError):
+            _ = cs.payload
+
+
+class TestEntropyValidation:
+    def test_entropy_rejects_float(self):
+        from vcf_tpu.entropy import get
+
+        with pytest.raises(TypeError, match="uint8/uint16"):
+            get("huffman").encode(np.zeros((4, 4), np.float32))
+
+    def test_png_rejects_garbage(self):
+        from vcf_tpu.entropy.png import read_png
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            read_png(b"garbage bytes here")
+
+    def test_tiff_rejects_garbage(self):
+        from vcf_tpu.entropy.tiff import read_tiff
+
+        with pytest.raises(ValueError, match="not a TIFF"):
+            read_tiff(b"garbage bytes here")
+
+    def test_truncated_huffman_raises(self, img_small):
+        cfg = CodecConfig(entropy="huffman", qss=32)
+        cs = Codec(cfg).encode(img_small)
+        cs2 = CodeStream.from_bytes(cs.to_bytes())
+        cs2[PAYLOAD] = cs2.payload[: len(cs2.payload) // 4]  # truncate
+        with pytest.raises(Exception):
+            Codec(cfg).decode(cs2)
+
+
+class TestDecodeSideValidation:
+    def test_missing_sidecar_raises(self, img_small):
+        cfg = CodecConfig(entropy="huffman", qss=32)
+        cs = Codec(cfg).encode(img_small)
+        stripped = CodeStream()
+        stripped.payload = cs.payload  # drop huffman_tree + shape
+        with pytest.raises(Exception):
+            Codec(cfg).decode(stripped)

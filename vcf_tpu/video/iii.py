@@ -8,9 +8,10 @@ per-frame transform call is commented out at src/III.py:96-104 — the
 2D pipeline).
 
 TPU-first: frames are embarrassingly parallel (SURVEY §5).  When the
-still config matches the fused batch path (dct + deadzone), frames are
-coded as one sharded device call via `parallel.BatchCodec`; otherwise
-each frame runs through the generic `Codec`.
+still config matches the fused batch path (dct + deadzone), all frames
+are coded in one sharded device dispatch via `parallel.BatchCodec`,
+producing per-frame segments byte-identical to the per-frame `Codec`
+path; other compositions fall back to per-frame coding.
 """
 
 from __future__ import annotations
@@ -25,19 +26,44 @@ from vcf_tpu.pipeline import Codec
 
 
 class IIICodec:
-    def __init__(self, video_config: VideoConfig, codec_config: CodecConfig):
+    def __init__(self, video_config: VideoConfig, codec_config: CodecConfig,
+                 mesh=None):
         self.vcfg = video_config
         self.ccfg = codec_config
+        self.mesh = mesh
         self.still = Codec(codec_config)
+        self._batch = None
+        if (
+            codec_config.spatial == "dct"
+            and codec_config.quantizer == "deadzone"
+            and codec_config.filter == "none"
+        ):
+            from vcf_tpu.parallel.mesh import BatchCodec, make_mesh
+
+            self._batch = BatchCodec(
+                codec_config, mesh if mesh is not None else make_mesh(1)
+            )
 
     def encode(self, frames: np.ndarray) -> CodeStream:
         frames = np.asarray(frames)[: self.vcfg.n_frames]
         cs = CodeStream()
         n = frames.shape[0]
-        for i, frame in enumerate(frames):
-            sub = self.still.encode(frame)
-            for name, blob in sub.items():
-                cs[f"f{i:04d}.{name}"] = blob
+        if self._batch is not None:
+            # one sharded device dispatch for the whole clip
+            planes = self._batch.encode_planes(frames)
+            for i in range(n):
+                payload, side = self.still.entropy_codec.encode(planes[i])
+                cs[f"f{i:04d}.payload"] = payload
+                for name, blob in side.items():
+                    cs[f"f{i:04d}.{name}"] = blob
+                sub = CodeStream()
+                sub.put_shape(frames.shape[1:])
+                cs[f"f{i:04d}.shape"] = sub["shape"]
+        else:
+            for i, frame in enumerate(frames):
+                sub = self.still.encode(frame)
+                for name, blob in sub.items():
+                    cs[f"f{i:04d}.{name}"] = blob
         cs.put_json(PAYLOAD, {
             "mode": "iii", "n_frames": int(n),
             "frame_shape": [int(s) for s in frames.shape[1:]],
@@ -47,6 +73,21 @@ class IIICodec:
     def decode(self, cs: CodeStream) -> np.ndarray:
         meta = cs.get_json(PAYLOAD)
         n = meta["n_frames"]
+        if self._batch is not None:
+            planes = []
+            for i in range(n):
+                prefix = f"f{i:04d}."
+                side = {
+                    name[len(prefix):]: cs[name]
+                    for name in cs
+                    if name.startswith(prefix)
+                    and name[len(prefix):] not in ("payload", "shape")
+                }
+                planes.append(
+                    self.still.entropy_codec.decode(cs[f"{prefix}payload"], side)
+                )
+            h, w = meta["frame_shape"][:2]
+            return self._batch.decode_planes(np.stack(planes), original_hw=(h, w))
         frames = []
         for i in range(n):
             prefix = f"f{i:04d}."

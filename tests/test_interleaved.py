@@ -82,3 +82,34 @@ class TestCodecWrapper:
         rec = Codec(cfg).decode(Codec(cfg).encode(img_small))
         rec_z = Codec(cfg_z).decode(Codec(cfg_z).encode(img_small))
         np.testing.assert_array_equal(rec, rec_z)
+
+
+class TestScanEmissionV2:
+    def test_matches_scalar_packer(self):
+        from vcf_tpu.entropy.huffman import pack_codes
+
+        data = _skewed(50_000, seed=11)
+        s_streams = 32
+        l, padded = I.plan_streams(data.size, s_streams)
+        flat = np.pad(data, (0, padded - data.size))
+        syms = flat.reshape(l, s_streams).T
+        counts = np.bincount(flat, minlength=256)
+        lengths = code_lengths_from_counts(counts, I.MAX_LEN)
+        codes = canonical_codes(lengths)
+        slots, valid, total_bits = I.encode_streams_v2(
+            jnp.asarray(syms),
+            jnp.asarray(codes.astype(np.uint32)),
+            jnp.asarray(lengths.astype(np.int32)),
+        )
+        streams = I.compact_slots_host(np.asarray(slots), np.asarray(valid))
+        for s in range(s_streams):
+            assert streams[s] == pack_codes(syms[s], codes, lengths), f"stream {s}"
+        expect_bits = lengths[syms].astype(np.int64).sum(1)
+        np.testing.assert_array_equal(np.asarray(total_bits), expect_bits)
+
+    def test_lookup256(self):
+        rng = np.random.default_rng(3)
+        table = rng.integers(0, 1 << 19, 256).astype(np.int32)
+        x = rng.integers(0, 256, (257, 3)).astype(np.uint8)
+        out = np.asarray(I.lookup256(jnp.asarray(x), jnp.asarray(table)))
+        np.testing.assert_array_equal(out, table[x])

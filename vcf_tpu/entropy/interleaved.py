@@ -111,6 +111,104 @@ def encode_streams(syms: jnp.ndarray, codes: jnp.ndarray, lens: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Device encode v2: gather/scatter-free scan emission.
+#
+# The v1 output-centric assembly above is gather-bound on backends with
+# slow XLA gathers (docs/PERF_NOTES.md).  v2 runs a lax.scan over symbol
+# positions, vectorized across streams, carrying a per-stream bit
+# accumulator and emitting <= 2 byte "slots" per step at *uniform*
+# positions (slot t of every stream) — pure elementwise work.  The
+# per-symbol (code, length) lookup is an equality-reduce against the
+# 256-entry table (chunk-scanned, no gather).  The host compacts the
+# valid slot bytes into canonical per-stream bitstreams with one
+# boolean-mask indexing (bit-identical to the v1/scalar packers).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def lookup256(sym: jnp.ndarray, table: jnp.ndarray, chunk: int = 1 << 16):
+    """Gather-free 256-entry table lookup: out[i] = table[sym[i]] via
+    equality-reduce (sym any shape int, table (256,) int32)."""
+    shape = sym.shape
+    flat = sym.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    chunk = min(chunk, max(n, 1))
+    pad = (-n) % chunk
+    x = jnp.pad(flat, (0, pad)).reshape(-1, chunk)
+    vals = jnp.arange(256, dtype=jnp.int32)
+
+    def body(_, row):
+        eq = (row[:, None] == vals[None, :]).astype(jnp.int32)
+        return _, jnp.sum(eq * table[None, :], axis=1)
+
+    _, out = jax.lax.scan(body, None, x)
+    return out.reshape(-1)[:n].reshape(shape)
+
+
+def encode_streams_v2(syms: jnp.ndarray, codes: jnp.ndarray, lens: jnp.ndarray):
+    """syms (S, L) -> (slots (L+3, 2, S) uint8, valid (L+3, 2, S) bool,
+    total_bits (S,)).  Valid slot bytes in scan order are exactly the
+    canonical bitstream of each stream."""
+    s, l = syms.shape
+    sym = syms.astype(jnp.int32)
+    packed_table = (codes.astype(jnp.int32) << 5) | lens.astype(jnp.int32)
+    packed = lookup256(sym, packed_table)       # (S, L)
+    code_arr = (packed >> 5).astype(jnp.uint32)
+    len_arr = (packed & 31).astype(jnp.int32)
+    total_bits = jnp.sum(len_arr, axis=1)
+
+    def step(carry, inp):
+        acc, nbits = carry
+        code, ln = inp
+        acc = (acc << ln.astype(jnp.uint32)) | code
+        nbits = nbits + ln
+        e1 = nbits >= 8
+        b1 = jnp.where(
+            e1, (acc >> jnp.maximum(nbits - 8, 0).astype(jnp.uint32)), 0
+        ).astype(jnp.uint8)
+        nbits = jnp.where(e1, nbits - 8, nbits)
+        e2 = nbits >= 8
+        b2 = jnp.where(
+            e2, (acc >> jnp.maximum(nbits - 8, 0).astype(jnp.uint32)), 0
+        ).astype(jnp.uint8)
+        nbits = jnp.where(e2, nbits - 8, nbits)
+        # keep only live bits so acc never overflows 32 bits
+        acc = acc & ((jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1)
+        return (acc, nbits), (jnp.stack([b1, b2]), jnp.stack([e1, e2]))
+
+    acc0 = jnp.zeros((s,), jnp.uint32)
+    nb0 = jnp.zeros((s,), jnp.int32)
+    (acc, nbits), (slots, valid) = jax.lax.scan(
+        step, (acc0, nb0), (code_arr.T, len_arr.T)
+    )
+    # final flush: left-align the remaining <8 bits into one byte
+    fb = (acc << (8 - nbits).astype(jnp.uint32)).astype(jnp.uint8)
+    fe = nbits > 0
+    flush_slots = jnp.stack([jnp.stack([fb, jnp.zeros_like(fb)])])
+    flush_valid = jnp.stack([jnp.stack([fe, jnp.zeros_like(fe)])])
+    slots = jnp.concatenate([slots, flush_slots], axis=0)
+    valid = jnp.concatenate([valid, flush_valid], axis=0)
+    return slots, valid, total_bits
+
+
+def compact_slots_host(slots: np.ndarray, valid: np.ndarray) -> list:
+    """Host compaction: (T, 2, S) slots -> per-stream byte strings
+    (canonical bitstreams).  One boolean-index per call."""
+    s = slots.shape[2]
+    # stream-major order: (S, T*2)
+    sm = np.ascontiguousarray(slots.transpose(2, 0, 1)).reshape(s, -1)
+    vm = np.ascontiguousarray(valid.transpose(2, 0, 1)).reshape(s, -1)
+    counts = vm.sum(axis=1)
+    flat = sm[vm]  # concatenated per-stream payloads in stream order
+    out = []
+    pos = 0
+    for i in range(s):
+        nb = int(counts[i])
+        out.append(flat[pos : pos + nb].tobytes())
+        pos += nb
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Device decode
 # ---------------------------------------------------------------------------
 

@@ -133,3 +133,16 @@ class TestVideoIO:
             for i in range(4)
         ]
         assert all(d > 1.0 for d in diffs)  # actual motion between frames
+
+
+class TestIPPGeneric:
+    def test_dwt_in_the_loop(self):
+        """--st 2D-DWT parity: IPP with a DWT still pipeline."""
+        frames = make_video(4, 96, 112)
+        vcfg = VideoConfig(mode="ipp", n_frames=4, gop_size=2, search_range=4)
+        ccfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=2, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        cs = codec.encode(frames)
+        rec = video.get(vcfg, ccfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        assert rec.shape == frames.shape
+        assert metrics.rmse(frames, rec) < 12.0

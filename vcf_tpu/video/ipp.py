@@ -38,20 +38,28 @@ from vcf_tpu import entropy
 
 
 class IPPCodec:
-    """Currently supports the dct + deadzone still pipeline in the loop
-    (the reference's namesake IPP_DCT configuration); other spatial
-    stages plug in once their fused device paths exist."""
+    """IPP with two execution paths: a fused GOP-parallel device loop
+    for the namesake dct+deadzone configuration, and a generic closed
+    loop through the still `Codec` for every other composition
+    (`--st 2D-DWT` and friends, reference IPP_DCT.py:43-84)."""
 
     def __init__(self, video_config: VideoConfig, codec_config: CodecConfig,
                  mesh=None):
-        if codec_config.spatial != "dct" or codec_config.quantizer != "deadzone":
-            raise NotImplementedError(
-                "IPPCodec requires the dct+deadzone still pipeline"
-            )
         self.vcfg = video_config
         self.ccfg = codec_config
         self.mesh = mesh  # optional jax.sharding.Mesh: GOPs shard over axis 0
         self.entropy_codec = entropy.get(codec_config.entropy, codec_config)
+        # fused device loop for the namesake dct+deadzone configuration;
+        # any other still pipeline (--st 2D-DWT etc., IPP_DCT.py:43-84)
+        # runs the generic closed loop through the still Codec, like the
+        # reference's encode_decode_proxy (:595-626) minus the temp files
+        self.fused = (
+            codec_config.spatial == "dct" and codec_config.quantizer == "deadzone"
+        )
+        if not self.fused:
+            from vcf_tpu.pipeline import Codec
+
+            self.still = Codec(codec_config)
         self._build()
 
     def _shard_gops(self, gops: np.ndarray):
@@ -72,6 +80,9 @@ class IPPCodec:
 
     def _build(self):
         cfg = self.ccfg
+        m_, s_ = self.vcfg.me_block, self.vcfg.search_range
+        if not self.fused:
+            return  # generic path drives ops.motion + the still Codec
         b, qss = cfg.block_size, cfg.qss
         fwd, inv = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
 
@@ -211,6 +222,8 @@ class IPPCodec:
         if h % m or w % m:
             raise ValueError(f"frame size must be a multiple of ME block {m}")
 
+        if not self.fused:
+            return self._encode_generic(frames)
         kinds: List[str] = []
         planes: List[np.ndarray] = []
         mvs: Dict[str, np.ndarray] = {}
@@ -330,6 +343,8 @@ class IPPCodec:
     # ------------------------------------------------------------------
     def decode(self, cs: CodeStream) -> np.ndarray:
         meta = cs.get_json(PAYLOAD)
+        if meta.get("generic"):
+            return self._decode_generic(cs)
         n = meta["n_frames"]
         kinds = meta["kinds"]
         m = meta["me_block"]
@@ -388,5 +403,79 @@ class IPPCodec:
                 else:
                     recon = jnp.clip(pred + (dec - 128.0), 0.0, 255.0)
             out.append(np.asarray(recon).astype(np.uint8))
+            ref = recon
+        return np.stack(out)
+
+    # ------------------------------------------------------------------
+    # Generic closed loop for arbitrary still pipelines (--st parity,
+    # reference IPP_DCT.py:595-626 without the temp-PNG round trip)
+    # ------------------------------------------------------------------
+    def _encode_generic(self, frames: np.ndarray) -> CodeStream:
+        vcfg = self.vcfg
+        m, s = vcfg.me_block, vcfg.search_range
+        n = frames.shape[0]
+        cs = CodeStream()
+        kinds = []
+        ref = None
+        for i in range(n):
+            if i % vcfg.gop_size == 0:
+                sub = self.still.encode(frames[i])
+                recon = self.still.decode(sub)
+                kinds.append("I")
+            else:
+                cur = frames[i].astype(np.float32)
+                ref_l = motion.to_luma(jnp.asarray(ref))
+                cur_l = motion.to_luma(jnp.asarray(frames[i]))
+                if vcfg.fast_search:
+                    mv, _ = motion.three_step_search(ref_l, cur_l, m, s)
+                else:
+                    mv, _ = motion.full_search(ref_l, cur_l, m, s)
+                pred = np.asarray(
+                    motion.compensate(jnp.asarray(ref, jnp.float32), mv, m,
+                                      pad=max(s, 8))
+                )
+                residual = np.clip(cur - pred + 128.0, 0, 255).astype(np.uint8)
+                sub = self.still.encode(residual)
+                res_rec = self.still.decode(sub).astype(np.float32) - 128.0
+                recon = np.clip(pred + res_rec, 0, 255).astype(np.uint8)
+                cs.put_array(f"mv_{i:04d}", np.asarray(mv))
+                kinds.append("P")
+            for name, blob in sub.items():
+                cs[f"f{i:04d}.{name}"] = blob
+            ref = recon
+        cs.put_json(PAYLOAD, {
+            "mode": "ipp", "generic": True, "n_frames": int(n), "kinds": kinds,
+            "frame_shape": [int(v) for v in frames.shape[1:]],
+            "gop": vcfg.gop_size, "me_block": m, "search_range": s,
+            "rdo": 0,
+        })
+        return cs
+
+    def _decode_generic(self, cs: CodeStream) -> np.ndarray:
+        meta = cs.get_json(PAYLOAD)
+        n = meta["n_frames"]
+        kinds = meta["kinds"]
+        m, s = meta["me_block"], meta["search_range"]
+        out = []
+        ref = None
+        for i in range(n):
+            prefix = f"f{i:04d}."
+            sub = CodeStream()
+            for name in cs:
+                if name.startswith(prefix):
+                    sub[name[len(prefix):]] = cs[name]
+            dec = self.still.decode(sub)
+            if kinds[i] == "I":
+                recon = dec
+            else:
+                mv = jnp.asarray(cs.get_array(f"mv_{i:04d}"))
+                pred = np.asarray(
+                    motion.compensate(jnp.asarray(ref, jnp.float32), mv, m,
+                                      pad=max(s, 8))
+                )
+                recon = np.clip(
+                    pred + dec.astype(np.float32) - 128.0, 0, 255
+                ).astype(np.uint8)
+            out.append(recon)
             ref = recon
         return np.stack(out)

@@ -80,7 +80,6 @@ class IPPCodec:
 
     def _build(self):
         cfg = self.ccfg
-        m_, s_ = self.vcfg.me_block, self.vcfg.search_range
         if not self.fused:
             return  # generic path drives ops.motion + the still Codec
         b, qss = cfg.block_size, cfg.qss

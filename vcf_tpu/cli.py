@@ -85,6 +85,11 @@ def add_stage_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-m", "--min_val", type=int, default=-2048)
     p.add_argument("-n", "--max_val", type=int, default=2047)
     p.add_argument("-s", "--filter_size", type=int, default=5)
+    p.add_argument("-H", "--nlm_h", type=float, default=10.0)
+    p.add_argument("--nlm_template", type=int, default=7)
+    p.add_argument("--nlm_search", type=int, default=21)
+    p.add_argument("--sigma", type=float, default=25.0,
+                   help="BM3D sigma (reference: BM3D.py -s)")
     p.add_argument("-p", "--perceptual_quantization", action="store_true")
     p.add_argument("-x", "--disable_subbands", action="store_true")
     p.add_argument("-L", "--Lambda", type=float, default=None,
@@ -136,6 +141,10 @@ def config_from_args(args) -> CodecConfig:
         vq_clusters=args.QSS if quant == "vq" else 256,
         colorvq_clusters=args.QSS if quant == "colorvq" else 32,
         filter_size=args.filter_size,
+        nlm_h=args.nlm_h,
+        nlm_template=args.nlm_template,
+        nlm_search=args.nlm_search,
+        bm3d_sigma=args.sigma,
         context_order=args.order,
         seed=args.seed,
     )

@@ -161,6 +161,23 @@ class CodeStream:
             total += len(data)
         return total
 
+    @classmethod
+    def read_vcf_layout(cls, prefix: str) -> "CodeStream":
+        """Read a codestream written with `write_vcf_layout`: payload at
+        `{prefix}`, sidecars globbed from `{prefix}_*` (the reference's
+        RDE sums the same glob, src/RDE.py:91-99)."""
+        import glob
+        import os
+
+        cs = cls()
+        with open(prefix, "rb") as f:
+            cs[PAYLOAD] = f.read()
+        for path in sorted(glob.glob(prefix + "_*")):
+            name = os.path.basename(path)[len(os.path.basename(prefix)) + 1 :]
+            with open(path, "rb") as f:
+                cs[name] = f.read()
+        return cs
+
     def __repr__(self) -> str:
         segs = ", ".join(f"{k}:{len(v)}B" for k, v in self._segments.items())
         return f"CodeStream({segs}; total={self.total_bytes}B)"

@@ -391,14 +391,11 @@ class Codec:
         cfg = self.config
         if cfg.quantizer == "vq":
             return stored.astype(np.int32), qside
-        if signed:
-            width = np.int16 if stored.dtype == np.uint8 else np.int32
-            k = stored.astype(np.int16 if stored.dtype == np.uint8 else np.int32)
-            if stored.dtype == np.uint16:
-                # undo the uint16 wrap of negative indexes
-                k = stored.astype(np.int32)
-                k = np.where(k >= 32768, k - 65536, k)
-            k = k - offset
+        if signed and stored.dtype == np.uint16:
+            # undo the uint16 wrap of negative indexes (src/YCoCg.py:53
+            # casts to uint16; int16 view restores the sign)
+            k = stored.astype(np.int32)
+            k = np.where(k >= 32768, k - 65536, k) - offset
         else:
             k = stored.astype(np.int32) - offset
         return k, qside

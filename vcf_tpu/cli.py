@@ -59,7 +59,7 @@ FILTER_ALIASES = {
 ENTROPY_ALIASES = {
     "tiff": "tiff", "png": "png", "pnm": "pnm",
     "z_lib": "zlib", "zlib": "zlib",
-    "huffman": "huffman", "ihuff": "ihuff", "cbahc": "cbahc", "cbaac": "cbaac",
+    "huffman": "huffman", "ihuff": "ihuff", "rans": "rans", "cbahc": "cbahc", "cbaac": "cbaac",
 }
 
 

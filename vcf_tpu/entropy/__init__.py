@@ -22,6 +22,7 @@ from vcf_tpu.entropy.png import PNGCodec
 from vcf_tpu.entropy.tiff import TIFFCodec
 from vcf_tpu.entropy.huffman import HuffmanCodec
 from vcf_tpu.entropy.interleaved import InterleavedHuffmanCodec
+from vcf_tpu.entropy.rans import RANSCodec
 from vcf_tpu.entropy.cbahc import CBAHCCodec
 from vcf_tpu.entropy.cbaac import CBAACCodec
 
@@ -32,6 +33,7 @@ _REGISTRY = {
     "tiff": TIFFCodec,
     "huffman": HuffmanCodec,
     "ihuff": InterleavedHuffmanCodec,
+    "rans": RANSCodec,
     "cbahc": CBAHCCodec,
     "cbaac": CBAACCodec,
 }

@@ -55,6 +55,28 @@ def test_vcf_layout(png, tmp_path):
     assert os.path.exists(enc + "_shape")
 
 
+def test_rde_sums_sidecars(png, tmp_path, capsys):
+    # the reference's RDE.py:91-99 globs /tmp/encoded* so sidecar files
+    # count toward the rate; our rde must do the same under --vcf-layout
+    enc = str(tmp_path / "encoded")
+    dec = str(tmp_path / "dec.png")
+    args = ["-c", "huffman", "-q", "16"]
+    assert main(["encode", "-o", png, "-e", enc, "--vcf-layout"] + args) == 0
+    assert main(["decode", "-e", enc, "-d", dec] + args) == 0
+    assert main(["rde", "-o", png, "-e", enc, "-d", dec]) == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    total = sum(
+        os.path.getsize(os.path.join(str(tmp_path), f))
+        for f in os.listdir(str(tmp_path))
+        if f.startswith("encoded")
+    )
+    orig = read_image(png)
+    assert report["rate_bpp"] == pytest.approx(
+        total * 8 / (orig.shape[0] * orig.shape[1])
+    )
+    assert total > os.path.getsize(enc)  # sidecars actually counted
+
+
 def test_video_cli(tmp_path):
     clip = str(tmp_path / "clip.y4m")
     write_y4m(clip, test_video(4, 64, 80))

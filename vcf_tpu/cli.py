@@ -59,7 +59,8 @@ FILTER_ALIASES = {
 ENTROPY_ALIASES = {
     "tiff": "tiff", "png": "png", "pnm": "pnm",
     "z_lib": "zlib", "zlib": "zlib",
-    "huffman": "huffman", "ihuff": "ihuff", "rans": "rans", "cbahc": "cbahc", "cbaac": "cbaac",
+    "huffman": "huffman", "ihuff": "ihuff", "rans": "rans", "srans": "srans",
+    "cbahc": "cbahc", "cbaac": "cbaac",
 }
 
 
@@ -252,7 +253,11 @@ def main(argv: Optional[list] = None) -> int:
         from vcf_tpu.pipeline import Codec
         from vcf_tpu.codestream import CodeStream
 
-        cs = CodeStream.from_file(args.encoded)
+        try:
+            cs = CodeStream.from_file(args.encoded)
+        except ValueError:
+            # payload written with --vcf-layout: sidecars live next to it
+            cs = CodeStream.read_vcf_layout(args.encoded)
         rec = Codec(config_from_args(args)).decode(cs)
         write_image(args.decoded, rec)
         logging.info("wrote %s", args.decoded)
@@ -261,11 +266,21 @@ def main(argv: Optional[list] = None) -> int:
     if args.command == "rde":
         from vcf_tpu.io import read_image
         from vcf_tpu import metrics
+        import glob
         import os
 
         orig = read_image(args.original)
         dec = read_image(args.decoded)
-        nbytes = os.path.getsize(args.encoded)
+        # Sum every codestream file incl. sidecars, like the reference's
+        # glob over /tmp/encoded* (src/RDE.py:91-99).  A single-file
+        # codestream matches its own prefix, so both layouts work.
+        nbytes = sum(
+            os.path.getsize(p)
+            for p in sorted(glob.glob(args.encoded + "*"))
+            if os.path.isfile(p)
+        )
+        if nbytes == 0:
+            nbytes = os.path.getsize(args.encoded)
         report = {
             "rate_bpp": nbytes * 8 / (orig.shape[0] * orig.shape[1]),
             "distortion_rmse": metrics.rmse(orig, dec),

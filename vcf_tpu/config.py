@@ -27,7 +27,8 @@ SPATIAL_TRANSFORMS = ("dct", "dwt", "klt", "mdct", "lbt", "none")
 COLOR_TRANSFORMS = ("ycocg", "ycocg_r", "ycrcb", "cdct", "none")
 QUANTIZERS = ("deadzone", "lloydmax", "vq", "colorvq", "none")
 FILTERS = ("none", "gaussian", "nlm", "bm3d")
-ENTROPY_CODECS = ("tiff", "png", "pnm", "zlib", "huffman", "ihuff", "rans", "cbahc", "cbaac")
+ENTROPY_CODECS = ("tiff", "png", "pnm", "zlib", "huffman", "ihuff", "rans",
+                  "srans", "cbahc", "cbaac")
 
 
 @dataclasses.dataclass(frozen=True)

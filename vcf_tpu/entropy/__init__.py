@@ -22,7 +22,7 @@ from vcf_tpu.entropy.png import PNGCodec
 from vcf_tpu.entropy.tiff import TIFFCodec
 from vcf_tpu.entropy.huffman import HuffmanCodec
 from vcf_tpu.entropy.interleaved import InterleavedHuffmanCodec
-from vcf_tpu.entropy.rans import RANSCodec
+from vcf_tpu.entropy.rans import RANSCodec, SparseRANSCodec
 from vcf_tpu.entropy.cbahc import CBAHCCodec
 from vcf_tpu.entropy.cbaac import CBAACCodec
 
@@ -34,6 +34,7 @@ _REGISTRY = {
     "huffman": HuffmanCodec,
     "ihuff": InterleavedHuffmanCodec,
     "rans": RANSCodec,
+    "srans": SparseRANSCodec,
     "cbahc": CBAHCCodec,
     "cbaac": CBAACCodec,
 }

@@ -197,45 +197,46 @@ def butterfly_compact(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
 _SHIFT_EMIT = 32 - K_PROB  # x >= f * 2^_SHIFT_EMIT <=> (x >> _SHIFT_EMIT) >= f
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def jax_encode(syms: jnp.ndarray, freqs: jnp.ndarray, cums: jnp.ndarray,
-               cap: int):
-    """syms (S, L) uint8 -> (words (cap,) uint16, n_words, states (S,) u32).
+@jax.jit
+def jax_encode(syms: jnp.ndarray, freqs: jnp.ndarray, cums: jnp.ndarray):
+    """syms (S, L) uint8 -> (words (S*L,) uint16 with the valid words as
+    a PREFIX in decoder consumption order, n_words, states (S,) u32).
 
-    Words land in decoder consumption order already (the scan runs over
-    reversed steps and the final buffer is flipped)."""
+    Two-phase: the sequential scan only advances the states and records
+    the (low16, emit) grids as scan outputs (~15 cheap vector ops per
+    step); ONE global monotone compaction then packs the flagged words.
+    This moves the routing work out of the latency-bound scan into a
+    single bandwidth-bound pass (measured ~2x encode on the v5e vs a
+    per-step butterfly + dynamic_update_slice).
+
+    Order: the scan consumes symbols in reverse step order, so the
+    recorded grids flipped on the step axis are exactly (t asc, s asc)
+    — the decoder's consumption order (np_encode emits t desc, s desc
+    and flips once at the end)."""
     s_streams, l = syms.shape
-    from vcf_tpu.entropy.interleaved import lookup256
+    from vcf_tpu.entropy.interleaved import lookup_tables256
 
-    packed_tab = (freqs.astype(jnp.int32) | (cums.astype(jnp.int32) << 13))
-    packed = lookup256(syms, packed_tab)
-    f_arr = (packed & 0x1FFF).astype(jnp.uint32)      # (S, L)
-    c_arr = (packed >> 13).astype(jnp.uint32)
+    tabs = jnp.stack([freqs.astype(jnp.int32), cums.astype(jnp.int32)], axis=1)
+    fc = lookup_tables256(syms, tabs)                 # (S, L, 2) via MXU
+    f_arr = fc[..., 0].astype(jnp.uint32)             # (S, L)
+    c_arr = fc[..., 1].astype(jnp.uint32)
 
-    def step(carry, inp):
-        x, ptr, buf = carry
+    def step(x, inp):
         f, cum = inp                      # (S,) each, uint32
         emit = (x >> _SHIFT_EMIT) >= f
-        low16 = (x & jnp.uint32(0xFFFF)).astype(jnp.uint32)
+        low16 = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x = jnp.where(emit, x >> 16, x)
         x = ((x // f) << K_PROB) + (x % f) + cum
-        # pack emitted words in REVERSE stream order at the pointer
-        low_rev = low16[::-1]
-        emit_rev = emit[::-1]
-        chunk = butterfly_compact(low_rev, emit_rev).astype(jnp.uint16)
-        c = jnp.sum(emit.astype(jnp.int32))
-        buf = jax.lax.dynamic_update_slice(buf, chunk, (ptr,))
-        return (x, ptr + c, buf), None
+        return x, (low16, emit)
 
     x0 = jnp.full((s_streams,), RANS_L, jnp.uint32)
-    buf0 = jnp.zeros((cap,), jnp.uint16)
-    (x, n_words, buf), _ = jax.lax.scan(
-        step, (x0, jnp.int32(0), buf0),
-        (f_arr.T[::-1], c_arr.T[::-1]),  # reversed symbol order
+    x, (lows, emits) = jax.lax.scan(
+        step, x0, (f_arr.T[::-1], c_arr.T[::-1]),  # reversed symbol order
     )
-    # reverse the used prefix into consumption order: flip whole buffer,
-    # valid words then start at cap - n_words
-    words = buf[::-1]
+    vals = lows[::-1].reshape(-1)                     # (l*S,) (t asc, s asc)
+    mask = emits[::-1].reshape(-1)
+    words = butterfly_compact(vals, mask)
+    n_words = jnp.sum(mask.astype(jnp.int32))
     return words, n_words, x
 
 
@@ -244,23 +245,34 @@ def jax_decode(words_padded: jnp.ndarray, start: jnp.ndarray,
                states: jnp.ndarray, freqs: jnp.ndarray, cums: jnp.ndarray,
                l: int):
     """words_padded: (cap,) uint16 with valid words at [start, ...).
-    Returns decoded symbols (S, l) uint8."""
+    Returns decoded symbols (S, l) uint8.
+
+    The slot->symbol inversion feeds the monotone `slot >= cum`
+    comparison matrix STRAIGHT into one (S, 256) @ (256, 3) MXU matmul
+    against the first-difference table D[v] = tab[v] - tab[v-1]: the
+    row of `ge` is a prefix of ones ending at the wanted symbol, so the
+    product telescopes to tab[sym] — no one-hot construction at all.
+    (Measured: one big MXU op beats three one-hot sum-reductions 5-6x;
+    a "cleverer" two-level 16x16 range search with small matmuls is 6x
+    SLOWER again — many small latency-bound ops lose on this backend.)
+    Partial sums stay < 2^21, exact in f32 under Precision.HIGHEST."""
     s_streams = states.shape[0]
-    f32 = freqs.astype(jnp.uint32)        # (256,)
-    c32 = cums.astype(jnp.uint32)
-    vals = jnp.arange(256, dtype=jnp.uint32)
+    c_f = cums.astype(jnp.float32)        # (256,)
+    tab = jnp.stack(
+        [jnp.arange(256, dtype=jnp.float32),
+         freqs.astype(jnp.float32), c_f], axis=1)       # (256, 3)
+    d_tab = tab - jnp.concatenate([jnp.zeros((1, 3), jnp.float32), tab[:-1]])
 
     def step(carry, _):
         x, ptr = carry
         slot = x & jnp.uint32(MASK)
-        ge = slot[:, None] >= c32[None, :]              # (S, 256) monotone rows
-        ge_next = jnp.concatenate(
-            [ge[:, 1:], jnp.zeros((s_streams, 1), bool)], axis=1
-        )
-        onehot = (ge & ~ge_next).astype(jnp.uint32)     # row one-hot at symbol
-        sym = jnp.sum(onehot * vals[None, :], axis=1)
-        f = jnp.sum(onehot * f32[None, :], axis=1)
-        cum = jnp.sum(onehot * c32[None, :], axis=1)
+        slot_f = slot.astype(jnp.float32)
+        ge = slot_f[:, None] >= c_f[None, :]            # (S, 256) prefix rows
+        fetched = jnp.dot(ge.astype(jnp.float32), d_tab,
+                          precision=jax.lax.Precision.HIGHEST)
+        sym = fetched[:, 0].astype(jnp.uint32)
+        f = fetched[:, 1].astype(jnp.uint32)
+        cum = fetched[:, 2].astype(jnp.uint32)
         x = f * (x >> K_PROB) + slot - cum
         renorm = x < jnp.uint32(RANS_L)
         chunk = jax.lax.dynamic_slice(words_padded, (ptr,), (s_streams,))
@@ -288,7 +300,7 @@ class RANSCodec(EntropyCodec):
 
     file_extension = ".rans"
 
-    def __init__(self, n_streams: int = 1024):
+    def __init__(self, n_streams: int = 65536):
         self.n_streams = n_streams
 
     @classmethod
@@ -297,7 +309,13 @@ class RANSCodec(EntropyCodec):
 
     @staticmethod
     def _pick_streams(n: int, requested: int) -> int:
-        return int(max(8, min(requested, n // 4096 or 8)))
+        """Largest power of two with >= ~512 symbols per stream, capped
+        at `requested`.  More streams = shorter scan = higher device
+        throughput (v5e: 1k->64k streams is ~2x encode, see
+        docs/PERF_NOTES.md); ~512 symbols/stream keeps the 4-byte
+        final-state sidecar under ~0.07 bits/symbol."""
+        target = min(requested, max(8, n // 512))
+        return 1 << max(3, int(np.floor(np.log2(target))))
 
     def _encode_u8(self, flat: np.ndarray) -> Tuple[bytes, bytes]:
         n = flat.size
@@ -308,13 +326,12 @@ class RANSCodec(EntropyCodec):
         counts = np.bincount(padded, minlength=256)
         freqs = quantize_freqs(counts)
         cums = np.concatenate(([0], np.cumsum(freqs)))[:256].astype(np.uint32)
-        cap = s_streams * l + s_streams + 16
         words, n_words, states = jax_encode(
             jnp.asarray(syms), jnp.asarray(freqs.astype(np.uint32)),
-            jnp.asarray(cums), cap,
+            jnp.asarray(cums),
         )
         n_words = int(n_words)
-        words_np = np.asarray(words)[cap - n_words :]
+        words_np = np.asarray(words[:n_words])
         payload = words_np.tobytes()
         side = struct.pack("<IIQI", s_streams, l, n, n_words)
         side += np.asarray(states).astype("<u4").tobytes()
@@ -360,6 +377,138 @@ class RANSCodec(EntropyCodec):
         if mode == 0:
             out = self._decode_u8(payload, body)
             return out.reshape(shape)
+        lo = self._decode_u8(payload[:split], body[:s1_len])
+        hi = self._decode_u8(payload[split:], body[s1_len:])
+        return ((hi.astype(np.uint16) << 8) | lo).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Sparse rANS: zero-flag bitplane + compacted nonzeros
+# ---------------------------------------------------------------------------
+
+_BIT_W = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)  # np.packbits order
+
+
+@jax.jit
+def pack_flags(flags: jnp.ndarray) -> jnp.ndarray:
+    """(8m,) bool -> (m,) uint8, bit order identical to np.packbits."""
+    b = flags.reshape(-1, 8).astype(jnp.int32)
+    return jnp.sum(b * jnp.asarray(_BIT_W)[None, :], axis=1).astype(jnp.uint8)
+
+
+@jax.jit
+def unpack_flags(packed: jnp.ndarray) -> jnp.ndarray:
+    """(m,) uint8 -> (8m,) bool, inverse of pack_flags."""
+    p = packed.astype(jnp.int32)
+    bits = (p[:, None] >> jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0])[None, :]) & 1
+    return bits.reshape(-1).astype(bool)
+
+
+class SparseRANSCodec(EntropyCodec):
+    """Sparse interleaved rANS — designed for quantized transform planes
+    where one symbol (the quantizer's zero) dominates (90-97% of a
+    deadzone-quantized DCT plane at the default QSS).
+
+    Instead of feeding every symbol through the sequential rANS scan,
+    the plane is split into (a) a zero-flag bitplane, packed 8 flags to
+    the byte (pure elementwise), and (b) the nonzero symbols compacted
+    to a dense prefix with ONE global monotone butterfly pass
+    (bandwidth-bound).  Both byte streams are then coded with the
+    interleaved device rANS.  On 97%-sparse 1080p DCT planes this is
+    ~6x fewer sequential-scan symbols AND ~20% better rate than dense
+    order-0 rANS (the flag bytes capture 8-neighbor correlation the
+    order-0 model cannot).
+
+    The nonzero count is data-dependent; the prefix is padded up to a
+    bucket (multiples of n/32) so XLA sees a small, reusable set of
+    static shapes.  Padding symbols are the most frequent nonzero, so
+    they cost ~H_min bits each; the bucket rounding costs < 0.07 bpp
+    worst-case and ~0 when the plane is very sparse.
+
+    Replaces functionally: the reference's entropy stage for quantized
+    planes (src/Huffman.py, src/CBAAC.py roles); the sparsity split is
+    a TPU-native design, not a reference translation (SURVEY §7.3
+    "sequential entropy coders on a parallel machine")."""
+
+    file_extension = ".srans"
+
+    def __init__(self, n_streams: int = 65536):
+        self.dense = RANSCodec(n_streams)
+
+    @classmethod
+    def from_config(cls, config=None):
+        return cls()
+
+    @staticmethod
+    def _bucket(n_nz: int, n: int) -> int:
+        """Round n_nz up to a multiple of n/32 (>= 4096) so the padded
+        nonzero stream has one of <= 32 static shapes per plane size."""
+        step = max(4096, n // 32)
+        return min(n, max(step, -(-n_nz // step) * step))
+
+    def _encode_u8(self, flat: np.ndarray) -> Tuple[bytes, bytes]:
+        n = flat.size
+        pad8 = (-n) % 8
+        padded = np.pad(flat, (0, pad8))
+        counts = np.bincount(padded, minlength=256)
+        zero_sym = int(np.argmax(counts))
+        fj = jnp.asarray(padded)
+        flags = fj != np.uint8(zero_sym)
+        if pad8:
+            flags = flags & (jnp.arange(padded.size) < n)
+        flag_bytes = np.asarray(pack_flags(flags))
+        nz_all = butterfly_compact(fj, flags)
+        n_nz = int(jnp.sum(flags.astype(jnp.int32)))
+        cap = self._bucket(max(n_nz, 1), padded.size)
+        nz = np.array(nz_all[:cap])  # writable host copy
+        if n_nz < cap:
+            # pad with the most frequent nonzero symbol (cheapest bits)
+            nz_counts = np.bincount(nz[:n_nz], minlength=256)
+            fill = int(np.argmax(nz_counts)) if nz_counts.any() else 0
+            nz[n_nz:] = fill
+        p_flags, s_flags = self.dense._encode_u8(flag_bytes)
+        p_nz, s_nz = self.dense._encode_u8(nz)
+        head = struct.pack(
+            "<QQIBII", n, n_nz, cap, zero_sym, len(p_flags), len(s_flags)
+        )
+        return p_flags + p_nz, head + s_flags + s_nz
+
+    def _decode_u8(self, payload: bytes, blob: bytes) -> np.ndarray:
+        n, n_nz, cap, zero_sym, pf_len, sf_len = struct.unpack_from(
+            "<QQIBII", blob, 0
+        )
+        off = 8 + 8 + 4 + 1 + 4 + 4
+        flag_bytes = self.dense._decode_u8(payload[:pf_len], blob[off:off + sf_len])
+        nz = self.dense._decode_u8(payload[pf_len:], blob[off + sf_len:])
+        flags = unpack_flags(jnp.asarray(flag_bytes))
+        nz_full = jnp.asarray(
+            np.pad(nz, (0, flags.shape[0] - cap)).astype(np.uint32)
+        )
+        routed = butterfly_expand(nz_full, flags)
+        out = jnp.where(flags, routed.astype(jnp.uint8), np.uint8(zero_sym))
+        return np.asarray(out)[:n]
+
+    def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
+        arr = self.check_dtype(arr)
+        if arr.dtype != np.uint8:
+            flat = arr.reshape(-1)
+            lo, s1 = self._encode_u8((flat & 0xFF).astype(np.uint8))
+            hi, s2 = self._encode_u8((flat >> 8).astype(np.uint8))
+            head = struct.pack(f"<BIIB{arr.ndim}I", 1, len(lo), len(s1),
+                               arr.ndim, *arr.shape)
+            return lo + hi, {"srans_model": head + s1 + s2}
+        payload, side = self._encode_u8(arr.reshape(-1))
+        head = struct.pack(f"<BIIB{arr.ndim}I", 0, len(payload), len(side),
+                           arr.ndim, *arr.shape)
+        return payload, {"srans_model": head + side}
+
+    def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
+        blob = side["srans_model"]
+        mode, split, s1_len, ndim = struct.unpack_from("<BIIB", blob, 0)
+        shape = struct.unpack_from(f"<{ndim}I", blob, 10)
+        body = blob[10 + 4 * ndim :]
+        if mode == 0:
+            return self._decode_u8(payload, body).reshape(shape)
         lo = self._decode_u8(payload[:split], body[:s1_len])
         hi = self._decode_u8(payload[split:], body[s1_len:])
         return ((hi.astype(np.uint16) << 8) | lo).reshape(shape)

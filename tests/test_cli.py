@@ -9,14 +9,16 @@ import numpy as np
 import pytest
 
 from vcf_tpu.cli import main, config_from_args
-from vcf_tpu.io import test_image, write_image, read_image
-from vcf_tpu.io.video import test_video, write_y4m, read_y4m
+from vcf_tpu.io import test_image as make_test_image
+from vcf_tpu.io import write_image, read_image
+from vcf_tpu.io.video import test_video as make_test_video
+from vcf_tpu.io.video import write_y4m, read_y4m
 
 
 @pytest.fixture()
 def png(tmp_path):
     p = str(tmp_path / "original.png")
-    write_image(p, test_image(64, 48, seed=2))
+    write_image(p, make_test_image(64, 48, seed=2))
     return p
 
 
@@ -79,7 +81,7 @@ def test_rde_sums_sidecars(png, tmp_path, capsys):
 
 def test_video_cli(tmp_path):
     clip = str(tmp_path / "clip.y4m")
-    write_y4m(clip, test_video(4, 64, 80))
+    write_y4m(clip, make_test_video(4, 64, 80))
     enc = str(tmp_path / "vid_enc")
     dec = str(tmp_path / "vid_dec.y4m")
     args = ["-N", "4", "-G", "2", "-M", "16", "-S", "4", "-q", "16",

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from vcf_tpu import Codec, CodecConfig, CodeStream
-from vcf_tpu.io import test_image
+from vcf_tpu.io import test_image as make_test_image
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -29,7 +29,7 @@ CONFIGS = {
 
 
 def _input():
-    return test_image(96, 112, seed=5)
+    return make_test_image(96, 112, seed=5)
 
 
 def _paths(name):

@@ -83,7 +83,13 @@ def main():
     from vcf_tpu.entropy import get as get_entropy
     from vcf_tpu.entropy import rans as rans_mod
 
-    n_frames, h, w = 8, 1088, 1920  # 32-row aligned; metrics on 1080 crop
+    import os
+
+    # defaults: 1080p batch (32-row aligned; metrics on the 1080 crop);
+    # env knobs exist only for CPU smoke-testing the bench itself
+    n_frames = int(os.environ.get("BENCH_FRAMES", 8))
+    h = int(os.environ.get("BENCH_H", 1088))
+    w = int(os.environ.get("BENCH_W", 1920))
     base = test_image(h, w, seed=3).astype(np.uint8)
     frames = np.stack(
         [np.roll(base, (7 * i, 13 * i), (0, 1)) for i in range(n_frames)]
@@ -100,7 +106,7 @@ def main():
     # side info, replicated in a real deployment)
     k0 = np.asarray(jax.jit(enc_t)(jnp.asarray(frames[:1])))
     freqs = rans_mod.quantize_freqs(
-        np.bincount(k0.reshape(-1), minlength=256)
+        np.bincount(k0.reshape(-1), minlength=256), min_all=True
     )
     cums = np.concatenate(([0], np.cumsum(freqs)))[:256].astype(np.uint32)
     f_j = jnp.asarray(freqs.astype(np.uint32))
@@ -131,6 +137,91 @@ def main():
         words, n_words, states = encode_full(frames_dev)
         nw = int(n_words)
     t_enc = (time.perf_counter() - t0) / reps
+
+    # ---- sparse device codec (flag bitplane + compacted nonzeros) --------
+    # Same transform; entropy = jax_sparse_encode/decode (one XLA program
+    # each).  Models + capacity trained on the first frame's statistics.
+    k0_flat = k0.reshape(-1)
+    zero_sym = np.uint8(np.bincount(k0_flat, minlength=256).argmax())
+    nz0 = k0_flat[k0_flat != zero_sym]
+    frac_nz = max(nz0.size / k0_flat.size, 1e-4)
+    s_sp = rans_mod.RANSCodec._pick_streams(n_syms, 65536)
+    cap = int(min(n_syms, -(-int(n_syms * frac_nz * 1.3) // s_sp) * s_sp))
+    cap = max(cap, s_sp)
+    fill = np.uint8(np.bincount(nz0, minlength=256).argmax() if nz0.size else 0)
+    flag0 = np.packbits(k0_flat != zero_sym)
+    nz0_padded = np.concatenate(
+        [nz0, np.full(max(cap // n_frames - nz0.size, 0), fill, np.uint8)])
+    f_flag = rans_mod.quantize_freqs(np.bincount(flag0, minlength=256), min_all=True)
+    f_nz = rans_mod.quantize_freqs(np.bincount(nz0_padded, minlength=256), min_all=True)
+    c_flag = np.concatenate(([0], np.cumsum(f_flag)))[:256].astype(np.uint32)
+    c_nz = np.concatenate(([0], np.cumsum(f_nz)))[:256].astype(np.uint32)
+    ff_j, fc_j = jnp.asarray(f_flag.astype(np.uint32)), jnp.asarray(c_flag)
+    zf_j, zc_j = jnp.asarray(f_nz.astype(np.uint32)), jnp.asarray(c_nz)
+    # pad the flat stream with zero symbols to a multiple of 8*S so the
+    # flag bytes tile exactly into S streams (pad flags are all-zero
+    # bytes: ~free in rate, no nonzeros)
+    n_pad = -(-n_syms // (8 * s_sp)) * (8 * s_sp)
+    l_flags, l_nz = (n_pad // 8) // s_sp, cap // s_sp
+
+    @jax.jit
+    def encode_sparse(frames_dev):
+        flat = enc_t(frames_dev).reshape(-1)
+        flat = jnp.concatenate(
+            [flat, jnp.full((n_pad - n_syms,), zero_sym, jnp.uint8)])
+        return rans_mod.jax_sparse_encode(
+            flat, jnp.uint8(zero_sym), jnp.uint8(fill),
+            ff_j, fc_j, zf_j, zc_j, cap, s_sp, s_sp)
+
+    @jax.jit
+    def decode_sparse(fwp, fst, zwp, zst):
+        flat = rans_mod.jax_sparse_decode(
+            fwp, fst, zwp, zst, jnp.uint8(zero_sym),
+            ff_j, fc_j, zf_j, zc_j, n_pad, cap, l_flags, l_nz)
+        planes = flat[:n_syms].reshape(n_frames, h, w, 3)
+        return dec_t(planes)
+
+    def run_sparse_encode():
+        fw, fnw, fst, zw, znw, zst, n_nz = encode_sparse(frames_dev)
+        return fw, int(fnw), fst, zw, int(znw), zst, int(n_nz)
+
+    sparse = None
+    try:
+        for _ in range(WARMUP):
+            fw, fnw, fst, zw, znw, zst, n_nz = run_sparse_encode()
+        if n_nz <= cap:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                fw, fnw, fst, zw, znw, zst, n_nz = run_sparse_encode()
+            t_enc_sp = (time.perf_counter() - t0) / reps
+            pad = jnp.zeros((s_sp + 16,), jnp.uint16)
+            fwp = jax.block_until_ready(jnp.concatenate([fw[:fnw], pad]))
+            zwp = jax.block_until_ready(jnp.concatenate([zw[:znw], pad]))
+            for _ in range(WARMUP):
+                rec_sp = decode_sparse(fwp, fst, zwp, zst)
+                _ = int(jnp.sum(rec_sp[0, 0, 0].astype(jnp.int32)))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                rec_sp = decode_sparse(fwp, fst, zwp, zst)
+                _ = int(jnp.sum(rec_sp[0, 0, 0].astype(jnp.int32)))
+            t_dec_sp = (time.perf_counter() - t0) / reps
+            rec_np = np.asarray(jax.device_get(rec_sp))
+            err_sp = float(np.sqrt(np.mean(
+                (rec_np[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
+            import zlib as _z
+            side_sp = 8 * s_sp + len(_z.compress(f_flag.astype("<u2").tobytes(), 9)) \
+                + len(_z.compress(f_nz.astype("<u2").tobytes(), 9))
+            bpp_sp = (2 * (fnw + znw) + side_sp) * 8 / (n_frames * h * w)
+            sparse = {
+                "encode_s": round(t_enc_sp, 4),
+                "decode_s": round(t_dec_sp, 4),
+                "gbps": round(frames.nbytes / (t_enc_sp + t_dec_sp) / 1e9, 4),
+                "rmse": round(err_sp, 3),
+                "bpp": round(bpp_sp, 4),
+                "nz_fraction": round(n_nz / n_syms, 4),
+            }
+    except Exception as e:  # pragma: no cover - perf fallback only
+        sparse = {"error": repr(e)[:200]}
 
     # dense prefix + pad so decode's dynamic_slice windows stay in range
     wpad = jnp.concatenate(
@@ -198,12 +289,15 @@ def main():
     assert recon_h.shape == frames.shape
 
     baseline_per_chip = 1.0 / 16  # GB/s: per-chip share of 1 GB/s on v5e-16
+    best_gbps, best_entropy = gbps_device, "rans(device)"
+    if sparse and "gbps" in sparse and sparse["gbps"] > best_gbps:
+        best_gbps, best_entropy = sparse["gbps"], "sparse-rans(device)"
     result = {
         "metric": "device-resident encode+decode GB/s per chip "
                   "(1080p, DCT+deadzone+rANS, full codec incl. entropy)",
-        "value": round(gbps_device, 4),
+        "value": round(best_gbps, 4),
         "unit": "GB/s",
-        "vs_baseline": round(gbps_device / baseline_per_chip, 3),
+        "vs_baseline": round(best_gbps / baseline_per_chip, 3),
         "detail": {
             "encode_s": round(t_enc, 4),
             "decode_s": round(t_dec, 4),
@@ -214,7 +308,9 @@ def main():
             "frames": n_frames,
             "devices": len(jax.devices()),
             "pallas": bool(cfg.use_pallas and h % 32 == 0),
-            "entropy": "rans(device)",
+            "entropy": best_entropy,
+            "dense_gbps": round(gbps_device, 4),
+            "sparse": sparse,
         },
     }
     print(json.dumps(result))

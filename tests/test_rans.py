@@ -161,3 +161,106 @@ class TestSparseRANS:
         rec = Codec(cfg).decode(Codec(cfg).encode(img_small))
         rec_z = Codec(cfg_z).decode(Codec(cfg_z).encode(img_small))
         np.testing.assert_array_equal(rec, rec_z)
+
+
+class TestJitSparsePath:
+    """jax_sparse_encode/decode: the fully-device sparse pipeline used by
+    bench.py (flag bitplane + global compaction + two device rANS codes
+    in one XLA program)."""
+
+    @pytest.mark.parametrize("sparsity", [0.3, 0.9, 1.0])
+    def test_roundtrip_device(self, sparsity):
+        rng = np.random.default_rng(11)
+        n, s_flags, s_nz = 1 << 14, 16, 32
+        zero = np.uint8(128)
+        flat = np.full(n, zero, np.uint8)
+        hits = rng.random(n) >= sparsity
+        flat[hits] = rng.integers(100, 160, hits.sum()).astype(np.uint8)
+        true_nz = int((flat != zero).sum())  # draws of 128 are zeros too
+
+        cap = max(s_nz, int(-(-max(true_nz, 1) // s_nz) * s_nz))
+        flag_bytes = np.packbits(flat != zero)
+        nz_host = flat[flat != zero]
+        fill = np.uint8(np.argmax(np.bincount(nz_host, minlength=256))
+                        if nz_host.size else 0)
+        nz_padded = np.concatenate(
+            [nz_host, np.full(cap - nz_host.size, fill, np.uint8)])
+
+        def model(sym_arr):
+            f = rans.quantize_freqs(np.bincount(sym_arr, minlength=256))
+            c = np.concatenate(([0], np.cumsum(f)))[:256].astype(np.uint32)
+            return jnp.asarray(f.astype(np.uint32)), jnp.asarray(c)
+
+        ff, fc = model(flag_bytes)
+        zf, zc = model(nz_padded)
+
+        fw, fnw, fst, zw, znw, zst, n_nz = rans.jax_sparse_encode(
+            jnp.asarray(flat), jnp.uint8(zero), jnp.uint8(fill),
+            ff, fc, zf, zc, cap, s_flags, s_nz)
+        assert int(n_nz) == true_nz and int(n_nz) <= cap
+
+        def padw(words, nw, s):
+            return jnp.concatenate(
+                [words[: int(nw)], jnp.zeros((s + 16,), jnp.uint16)])
+
+        out = rans.jax_sparse_decode(
+            padw(fw, fnw, s_flags), fst, padw(zw, znw, s_nz), zst,
+            jnp.uint8(zero), ff, fc, zf, zc,
+            n, cap, (n // 8) // s_flags, cap // s_nz)
+        np.testing.assert_array_equal(np.asarray(out), flat)
+
+    def test_matches_host_streams(self):
+        # the two embedded rANS codes must be bit-identical to np_encode
+        # over the same (S, L) layout
+        rng = np.random.default_rng(3)
+        n, s_flags, s_nz = 1 << 12, 8, 8
+        zero = np.uint8(128)
+        flat = np.where(rng.random(n) < 0.8, zero,
+                        rng.integers(0, 256, n)).astype(np.uint8)
+        flags = flat != zero
+        cap = int(-(-max(int(flags.sum()), 1) // s_nz) * s_nz)
+        flag_bytes = np.packbits(flags)
+        nz = flat[flags]
+        fill = np.uint8(np.argmax(np.bincount(nz, minlength=256)))
+        nz_padded = np.concatenate([nz, np.full(cap - nz.size, fill, np.uint8)])
+
+        def model(a):
+            f = rans.quantize_freqs(np.bincount(a, minlength=256))
+            return f
+
+        ff, zf = model(flag_bytes), model(nz_padded)
+        fc = np.concatenate(([0], np.cumsum(ff)))[:256].astype(np.uint32)
+        zc = np.concatenate(([0], np.cumsum(zf)))[:256].astype(np.uint32)
+
+        fw, fnw, fst, zw, znw, zst, n_nz = rans.jax_sparse_encode(
+            jnp.asarray(flat), jnp.uint8(zero), jnp.uint8(fill),
+            jnp.asarray(ff.astype(np.uint32)), jnp.asarray(fc),
+            jnp.asarray(zf.astype(np.uint32)), jnp.asarray(zc),
+            cap, s_flags, s_nz)
+
+        ref_fw, ref_fst = rans.np_encode(
+            flag_bytes.reshape(-1, s_flags).T, ff)
+        ref_zw, ref_zst = rans.np_encode(nz_padded.reshape(-1, s_nz).T, zf)
+        np.testing.assert_array_equal(np.asarray(fw)[: int(fnw)], ref_fw)
+        np.testing.assert_array_equal(np.asarray(fst), ref_fst)
+        np.testing.assert_array_equal(np.asarray(zw)[: int(znw)], ref_zw)
+        np.testing.assert_array_equal(np.asarray(zst), ref_zst)
+
+
+class TestMinAllModel:
+    def test_all_symbols_coverable(self):
+        # a model trained on a SAMPLE must still code unseen symbols:
+        # min_all gives every symbol freq >= 1 (sum still exactly 2^K)
+        counts = np.zeros(256, np.int64)
+        counts[10] = 1000  # sample saw only one symbol
+        f = rans.quantize_freqs(counts, min_all=True)
+        assert int(f.sum()) == 1 << rans.K_PROB
+        assert (f >= 1).all()
+
+        # stream containing symbols the sample never saw round-trips
+        syms = np.full((4, 64), 10, np.uint8)
+        syms[0, 3] = 255
+        syms[2, 60] = 0
+        words, states = rans.np_encode(syms.reshape(4, 64), f)
+        out = rans.np_decode(words, states, f, 4, 64)
+        np.testing.assert_array_equal(out, syms)

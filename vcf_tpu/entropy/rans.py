@@ -47,13 +47,20 @@ MASK = (1 << K_PROB) - 1
 # Probability quantization
 # ---------------------------------------------------------------------------
 
-def quantize_freqs(counts: np.ndarray, k: int = K_PROB) -> np.ndarray:
+def quantize_freqs(counts: np.ndarray, k: int = K_PROB,
+                   min_all: bool = False) -> np.ndarray:
     """Quantize counts to integer freqs >= 1 (for present symbols) that
-    sum to exactly 2^k.  Deterministic."""
+    sum to exactly 2^k.  Deterministic.
+
+    min_all=True gives EVERY symbol freq >= 1 even when its count is 0 —
+    required whenever the model is trained on a sample (e.g. one frame
+    of a batch) rather than the exact data it will code: a zero-freq
+    symbol encountered at encode time corrupts the stream silently.
+    Rate cost: <= 256 parts in 2^k (~0.1% at k=12)."""
     total = 1 << k
     counts = counts.astype(np.float64)
     n_syms = counts.shape[0]
-    present = counts > 0
+    present = np.ones(n_syms, bool) if min_all else counts > 0
     if not present.any():
         present = np.zeros(n_syms, bool)
         present[0] = True
@@ -286,6 +293,51 @@ def jax_decode(words_padded: jnp.ndarray, start: jnp.ndarray,
         length=l,
     )
     return out.T  # (S, l)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "s_flags", "s_nz"))
+def jax_sparse_encode(flat, zero_sym, fill_sym, flag_f, flag_c, nz_f, nz_c,
+                      cap: int, s_flags: int, s_nz: int):
+    """Fully-device sparse encode of a flat uint8 symbol stream.
+
+    Splits `flat` (n,) into a zero-flag bitplane (packed to bytes) and a
+    compacted nonzero prefix (padded to the static `cap` with
+    `fill_sym`), then codes both with the interleaved device rANS —
+    everything in one XLA program, no host round trip.  Requires
+    n % (8 * s_flags) == 0 and cap % s_nz == 0; n_nz must be <= cap
+    (checked by the caller from the returned n_nz).
+
+    Returns (flag_words, flag_nw, flag_states,
+             nz_words, nz_nw, nz_states, n_nz)."""
+    n = flat.shape[0]
+    flags = flat != zero_sym
+    flag_bytes = pack_flags(flags)                      # (n/8,)
+    nz_all = butterfly_compact(flat, flags)             # (n,) prefix = nonzeros
+    n_nz = jnp.sum(flags.astype(jnp.int32))
+    nz = jnp.where(jnp.arange(cap) < n_nz, nz_all[:cap],
+                   fill_sym.astype(flat.dtype))
+    fw, fnw, fst = jax_encode(
+        flag_bytes.reshape(-1, s_flags).T, flag_f, flag_c)
+    zw, znw, zst = jax_encode(nz.reshape(-1, s_nz).T, nz_f, nz_c)
+    return fw, fnw, fst, zw, znw, zst, n_nz
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "cap", "l_flags", "l_nz"))
+def jax_sparse_decode(flag_words_padded, flag_states, nz_words_padded,
+                      nz_states, zero_sym, flag_f, flag_c, nz_f, nz_c,
+                      n: int, cap: int, l_flags: int, l_nz: int):
+    """Inverse of jax_sparse_encode: -> flat (n,) uint8, on device."""
+    fb = jax_decode(flag_words_padded, jnp.int32(0), flag_states,
+                    flag_f, flag_c, l_flags)
+    flags = unpack_flags(fb.T.reshape(-1))              # (n,)
+    nz = jax_decode(nz_words_padded, jnp.int32(0), nz_states,
+                    nz_f, nz_c, l_nz).T.reshape(-1)     # (cap,)
+    nz_full = jnp.concatenate(
+        [nz.astype(jnp.uint32), jnp.zeros((n - cap,), jnp.uint32)])
+    routed = butterfly_expand(nz_full, flags)
+    return jnp.where(flags, routed.astype(jnp.uint8),
+                     zero_sym.astype(jnp.uint8))
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,9 @@ def build_transform_fns(cfg, h, w):
             ).transpose(1, 2, 0)
         else:
             coeff = dct_ops.analyze(ct, b)
-            k_img = (q_ops.deadzone_quantize(coeff, qss) + 128).astype(jnp.uint8)
+            k_img = jnp.clip(
+                q_ops.deadzone_quantize(coeff, qss) + 128, 0, 255
+            ).astype(jnp.uint8)
         if cfg.subbands:
             k_img = dct_ops.to_subbands(k_img, b)
         return k_img
@@ -146,8 +148,10 @@ def main():
     nz0 = k0_flat[k0_flat != zero_sym]
     frac_nz = max(nz0.size / k0_flat.size, 1e-4)
     s_sp = rans_mod.RANSCodec._pick_streams(n_syms, 65536)
-    cap = int(min(n_syms, -(-int(n_syms * frac_nz * 1.3) // s_sp) * s_sp))
-    cap = max(cap, s_sp)
+    cap = -(-int(n_syms * frac_nz * 1.3) // s_sp) * s_sp
+    # keep cap a multiple of s_sp after clamping (jax_sparse_encode
+    # requires cap % s_nz == 0)
+    cap = max(min(cap, n_syms // s_sp * s_sp), s_sp)
     fill = np.uint8(np.bincount(nz0, minlength=256).argmax() if nz0.size else 0)
     flag0 = np.packbits(k0_flat != zero_sym)
     nz0_padded = np.concatenate(
@@ -221,6 +225,9 @@ def main():
                 "nz_fraction": round(n_nz / n_syms, 4),
             }
     except Exception as e:  # pragma: no cover - perf fallback only
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
         sparse = {"error": repr(e)[:200]}
 
     # dense prefix + pad so decode's dynamic_slice windows stay in range
@@ -290,8 +297,14 @@ def main():
 
     baseline_per_chip = 1.0 / 16  # GB/s: per-chip share of 1 GB/s on v5e-16
     best_gbps, best_entropy = gbps_device, "rans(device)"
-    if sparse and "gbps" in sparse and sparse["gbps"] > best_gbps:
+    best = {"encode_s": t_enc, "decode_s": t_dec, "rmse": err, "bpp": bpp}
+    # promote sparse only if faster AND the entropy stage is verified
+    # lossless vs the dense path (identical rmse)
+    if (sparse and "gbps" in sparse and sparse["gbps"] > best_gbps
+            and abs(sparse["rmse"] - err) < 1e-6):
         best_gbps, best_entropy = sparse["gbps"], "sparse-rans(device)"
+        best = {"encode_s": sparse["encode_s"], "decode_s": sparse["decode_s"],
+                "rmse": sparse["rmse"], "bpp": sparse["bpp"]}
     result = {
         "metric": "device-resident encode+decode GB/s per chip "
                   "(1080p, DCT+deadzone+rANS, full codec incl. entropy)",
@@ -299,12 +312,12 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(best_gbps / baseline_per_chip, 3),
         "detail": {
-            "encode_s": round(t_enc, 4),
-            "decode_s": round(t_dec, 4),
+            "encode_s": round(best["encode_s"], 4),
+            "decode_s": round(best["decode_s"], 4),
             "transform_only_gbps": round(transform_gbps, 3),
             "host_to_host_gbps": round(h2h_gbps, 4),
-            "rmse": round(err, 3),
-            "bpp": round(bpp, 4),
+            "rmse": round(best["rmse"], 3),
+            "bpp": round(best["bpp"], 4),
             "frames": n_frames,
             "devices": len(jax.devices()),
             "pallas": bool(cfg.use_pallas and h % 32 == 0),

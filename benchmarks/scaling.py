@@ -84,11 +84,13 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / args.reps
         gbps = frames.nbytes / dt / 1e9
         rows.append({"devices": n, "frames": n_frames, "s": round(dt, 4),
-                     "gbps": round(gbps, 3)})
+                     "gbps": round(gbps, 3), "_gbps_raw": gbps})
 
-    base_gbps = rows[0]["gbps"]
+    base_gbps = rows[0]["_gbps_raw"]
     for r in rows:
-        r["weak_scaling_eff"] = round(r["gbps"] / (base_gbps * r["devices"]), 3)
+        # efficiency from unrounded throughputs (ADVICE r1)
+        r["weak_scaling_eff"] = round(
+            r.pop("_gbps_raw") / (base_gbps * r["devices"]), 3)
 
     out = {
         "metric": "weak-scaling efficiency, data-parallel codec roundtrip",

@@ -113,3 +113,19 @@ class TestLBTPipeline:
         e_lbt = metrics.rmse(img_small, rec_lbt)
         e_dct = metrics.rmse(img_small, rec_dct)
         assert e_lbt < e_dct * 1.5
+
+
+def test_lbt_side_info_external_file(img_small, tmp_path):
+    """--side_info stores the trained weights outside the stream
+    (2D-LBT.py:39,48,391-398,530-537)."""
+    from vcf_tpu import Codec, CodecConfig, CodeStream, metrics
+
+    path = str(tmp_path / "w.npz")
+    cfg = CodecConfig(spatial="lbt", qss=16, lbt_epochs=40, entropy="zlib",
+                      lbt_side_info=path)
+    cs = Codec(cfg).encode(img_small)
+    assert "weights" not in cs and "mean" not in cs
+    import os
+    assert os.path.exists(path)
+    rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+    assert metrics.rmse(img_small, rec) < 10.0

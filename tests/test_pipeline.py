@@ -161,3 +161,40 @@ class TestMetrics:
         cs = CodeStream()
         cs.payload = b"\x00" * 1000
         assert metrics.bpp(cs, (100, 100, 3)) == 1000 * 8 / (100 * 100)
+
+
+class TestDeadzoneClamp:
+    """The reference constructs Deadzone_Quantizer(Q_step, min_val=0,
+    max_val=255) (src/deadzone.py:64): indexes that saturate the uint8
+    support CLAMP, they do not wrap through the cast (SURVEY §7.3)."""
+
+    def test_store_clamps_not_wraps(self):
+        from vcf_tpu.codestream import CodeStream
+        from vcf_tpu.pipeline import Codec
+
+        codec = Codec(CodecConfig(entropy="zlib"))
+        k = np.array([[-300, -129, -128, 0, 127, 128, 900]], np.int32)
+        cs = CodeStream()
+        codec._store_indexes(cs, k, {}, offset=128, dtype=np.uint8)
+        stored = codec.entropy_codec.decode(
+            cs.payload, {n: cs[n] for n in cs if n != "payload"})
+        np.testing.assert_array_equal(
+            stored.reshape(-1), [0, 0, 0, 128, 255, 255, 255])
+
+    def test_qss1_saturating_image_roundtrip(self):
+        # white image at qss=1: the DC index (~1016) saturates; with the
+        # clamp the decoded image stays bright instead of wrapping dark
+        img = np.full((16, 16, 3), 255, np.uint8)
+        cfg = CodecConfig(qss=1, entropy="zlib")
+        rec = Codec(cfg).decode(Codec(cfg).encode(img))
+        assert rec.mean() > 130  # wrap semantics would give ~127 or worse
+
+    def test_pallas_kernel_clamps(self):
+        import jax.numpy as jnp
+        from vcf_tpu.ops.pallas import fused_dct_quantize
+
+        x = np.full((1, 32, 128), 2000.0, np.float32)
+        k = np.asarray(fused_dct_quantize(
+            jnp.asarray(x), b=8, qss=1, offset=128, interpret=True))
+        assert k.max() == 255
+        assert k.min() >= 128  # no wrap to small values

@@ -1,0 +1,265 @@
+"""Reference-algorithm golden vectors.
+
+Each test pins one reference algorithm *as written in the reference
+source* with values hand-derived (or derived by an in-test
+transcription of the reference's published pseudocode) independently of
+this repo's production mirrors, so a drift in any mirror fails here
+even if the mirror's encoder and decoder still agree with each other
+(VERDICT r1 item 8).
+
+Nothing here imports reference code; the transcriptions follow the
+cited algorithm text line by line.
+"""
+
+import heapq
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Deadzone quantizer (src/deadzone.py:64 + scalar_quantization contract:
+# k = trunc(x / qss) toward zero, y = k * qss; indexes clamp to the
+# [min_val, max_val] support)
+# ---------------------------------------------------------------------------
+
+class TestDeadzoneVectors:
+    # hand-computed: trunc toward zero, doubled zero bin at qss = 32
+    X = np.array([-65, -64, -63, -33, -32, -31, -1, 0, 1,
+                  31, 32, 63, 64, 95], np.float32)
+    K = np.array([-2, -2, -1, -1, -1, 0, 0, 0, 0,
+                  0, 1, 1, 2, 2], np.int32)
+
+    def test_quantize_table(self):
+        import jax.numpy as jnp
+        from vcf_tpu.ops.quantize import deadzone_quantize
+
+        np.testing.assert_array_equal(
+            np.asarray(deadzone_quantize(jnp.asarray(self.X), 32)), self.K)
+
+    def test_dequantize_table(self):
+        import jax.numpy as jnp
+        from vcf_tpu.ops.quantize import deadzone_dequantize
+
+        np.testing.assert_array_equal(
+            np.asarray(deadzone_dequantize(jnp.asarray(self.K), 32)),
+            self.K.astype(np.float32) * 32)
+
+    def test_store_clamp_support(self):
+        # Deadzone_Quantizer(Q_step, min_val=0, max_val=255)
+        # (src/deadzone.py:64): k + 128 saturates at the support edges
+        from vcf_tpu import Codec, CodecConfig
+        from vcf_tpu.codestream import CodeStream
+
+        codec = Codec(CodecConfig(entropy="zlib"))
+        k = np.array([[-1000, -129, -128, 127, 128, 1000]], np.int32)
+        cs = CodeStream()
+        codec._store_indexes(cs, k, {}, offset=128, dtype=np.uint8)
+        stored = codec.entropy_codec.decode(
+            cs.payload, {n: cs[n] for n in cs if n != "payload"})
+        np.testing.assert_array_equal(
+            stored.reshape(-1), [0, 0, 0, 255, 255, 255])
+
+
+# ---------------------------------------------------------------------------
+# YCoCg per-quantizer offsets (src/YCoCg.py:28-31): deadzone -> (0,0,0);
+# any other quantizer -> (-128, 0, 0) added to the YCoCg channels before
+# quantization.
+# ---------------------------------------------------------------------------
+
+class TestYCoCgOffsets:
+    def test_offsets_table(self):
+        from vcf_tpu.ops import color as color_ops
+
+        assert tuple(color_ops.offsets("ycocg", "deadzone")) == (0, 0, 0)
+        for q in ("lloydmax", "vq", "none"):
+            assert tuple(color_ops.offsets("ycocg", q)) == (-128, 0, 0)
+
+    def test_ycocg_forward_vector(self):
+        # Malvar's scaled YCoCg (the transform behind the reference's
+        # color_transforms.YCoCg, src/YCoCg.py:11-12) on a hand-picked
+        # RGB triple; chroma is signed here, the per-quantizer offset
+        # table above carries the recentring.  RGB (200, 100, 40):
+        #   Y  = 200/4 + 100/2 + 40/4          = 110
+        #   Co = (200 - 40)/2                  =  80
+        #   Cg = (-200 + 2*100 - 40)/4         = -10
+        import jax.numpy as jnp
+        from vcf_tpu.ops import color as color_ops
+
+        fwd, inv = color_ops.get("ycocg")
+        x = jnp.asarray([[[200.0, 100.0, 40.0]]])
+        y = np.asarray(fwd(x))[0, 0]
+        np.testing.assert_allclose(y, [110.0, 80.0, -10.0], atol=1e-4)
+        rec = np.asarray(inv(fwd(x)))[0, 0]
+        np.testing.assert_allclose(rec, [200.0, 100.0, 40.0], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CBAAC AdaptiveModel (src/CBAAC.py:17-47): freqs start at 1 (Laplace),
+# update does freqs[s] += 1 and, when the STALE pre-increment total had
+# reached max_freq = 16384, rescales every slot as (f >> 1) + 1.
+# ---------------------------------------------------------------------------
+
+class ReferenceAdaptiveModel:
+    """Transcription of src/CBAAC.py:17-47 (verbatim semantics)."""
+
+    def __init__(self, num_symbols=256, max_freq=16384):
+        self.num_symbols = num_symbols
+        self.max_freq = max_freq
+        self.freqs = [1] * num_symbols
+        self.cumulative = [0] * (num_symbols + 1)
+        self._update_cumulative()
+
+    def _update_cumulative(self):
+        cum = 0
+        for i in range(self.num_symbols):
+            self.cumulative[i] = cum
+            cum += self.freqs[i]
+        self.cumulative[self.num_symbols] = cum
+        self.total = cum
+
+    def update(self, symbol):
+        self.freqs[symbol] += 1
+        if self.total >= self.max_freq:
+            for i in range(self.num_symbols):
+                self.freqs[i] = (self.freqs[i] >> 1) + 1
+        self._update_cumulative()
+
+
+class TestCBAACModelVectors:
+    def test_hand_vector_small(self):
+        # tiny hand-derived trace with num_symbols=4, max_freq=8:
+        # start freqs [1,1,1,1] total 4
+        # update(2): [1,1,2,1] total 5
+        # update(2): [1,1,3,1] total 6
+        # update(0): [2,1,3,1] total 7
+        # update(3): [2,1,3,2] total 8 == max
+        # update(3): inc -> [2,1,3,3]; stale total 8 >= 8 -> rescale
+        #            (f>>1)+1 -> [2,1,2,2] total 7
+        m = ReferenceAdaptiveModel(num_symbols=4, max_freq=8)
+        for s in (2, 2, 0, 3):
+            m.update(s)
+        assert m.freqs == [2, 1, 3, 2] and m.total == 8
+        m.update(3)
+        assert m.freqs == [2, 1, 2, 2] and m.total == 7
+        assert m.cumulative == [0, 2, 3, 5, 7]
+
+    def test_production_model_matches_reference_trace(self):
+        # drive both models through a long pseudo-random symbol stream
+        # crossing several rescales; the production mirror must agree
+        # with the transcription at every step
+        from vcf_tpu.entropy.cbaac import _Model
+
+        rng = np.random.default_rng(0)
+        syms = rng.integers(0, 256, size=40000)
+        ref = ReferenceAdaptiveModel()
+        ours = _Model()
+        check_at = set(np.linspace(0, len(syms) - 1, 64, dtype=int).tolist())
+        n_rescales = 0
+        for i, s in enumerate(syms.tolist()):
+            prev_total = ref.total
+            ref.update(s)
+            ours.update(s)
+            if prev_total >= 16384:
+                n_rescales += 1
+            if i in check_at:
+                assert ours.total == ref.total, i
+                np.testing.assert_array_equal(ours.freq, np.array(ref.freqs))
+        assert n_rescales >= 2  # the trace actually crossed rescales
+        np.testing.assert_array_equal(ours.freq, np.array(ref.freqs))
+
+    def test_native_stream_matches_python_mirror(self):
+        # the C++ runtime implements the same law: streams must be
+        # bit-identical to the Python mirror across a rescale boundary
+        from vcf_tpu import native
+        from vcf_tpu.entropy.cbaac import _py_rc_encode, _py_rc_decode
+
+        if not native.available():
+            pytest.skip("no native runtime")
+        rng = np.random.default_rng(1)
+        data = rng.integers(0, 8, size=20000).astype(np.uint8)
+        py = _py_rc_encode(data, 0)
+        nat = native.rc_encode(data, 0)
+        assert py == nat
+        np.testing.assert_array_equal(_py_rc_decode(nat, data.size, 0), data)
+
+
+# ---------------------------------------------------------------------------
+# CBAHC per-symbol adaptive Huffman (src/CBAHC.py:38-96,123-201):
+# context counts Laplace-smoothed, tree rebuilt before EVERY symbol
+# from a heap with (freq, uid) tie-breaking, uid = insertion order
+# (leaves 0..255 in symbol order, internal nodes next).
+# ---------------------------------------------------------------------------
+
+def reference_cbahc_lengths(freqs):
+    """Transcription of _build_huffman_tree_from_freq + _build_codebook
+    (src/CBAHC.py:38-96), reduced to per-symbol code lengths (the
+    repo's canonical-code mirror preserves lengths, not tree paths)."""
+    heap = []
+    uid = 0
+    nodes = {}
+    for sym, f in enumerate(freqs):
+        nodes[uid] = (None, None, sym)
+        heapq.heappush(heap, (int(f), uid))
+        uid += 1
+    while len(heap) > 1:
+        f1, a = heapq.heappop(heap)
+        f2, b = heapq.heappop(heap)
+        nodes[uid] = (a, b, None)
+        heapq.heappush(heap, (f1 + f2, uid))
+        uid += 1
+    root = heap[0][1]
+    lengths = np.zeros(len(freqs), np.int32)
+
+    def dfs(nid, depth):
+        left, right, sym = nodes[nid]
+        if sym is not None:
+            lengths[sym] = max(depth, 1)
+            return
+        dfs(left, depth + 1)
+        dfs(right, depth + 1)
+
+    dfs(root, 0)
+    return lengths
+
+
+class TestCBAHCVectors:
+    def test_initial_tree_is_uniform_8bit(self):
+        # first symbol: all-1 counts -> balanced 256-leaf tree, every
+        # code exactly 8 bits
+        lengths = reference_cbahc_lengths([1] * 256)
+        assert (lengths == 8).all()
+
+    def test_lengths_match_production_mirror(self):
+        # per-symbol lengths of the production mirror == the reference
+        # tree algorithm, over an adapting stream (ties exercise the
+        # (freq, uid) ordering)
+        from vcf_tpu.entropy.cbahc import _huffman_lengths_256
+
+        counts = np.ones(256, np.uint32)
+        rng = np.random.default_rng(2)
+        syms = np.concatenate([
+            rng.integers(0, 4, 300), rng.integers(0, 256, 100)])
+        for s in syms.tolist():
+            ref_len = reference_cbahc_lengths(counts.tolist())
+            ours = _huffman_lengths_256(counts)
+            np.testing.assert_array_equal(ours.astype(np.int32), ref_len)
+            counts[s] += 1
+
+    def test_stream_size_equals_reference_bit_count(self):
+        # the reference stream length (sum of per-symbol code lengths
+        # under the per-symbol rebuilt tree) must equal our encoder's
+        # payload bit count: same model, same lengths => same size,
+        # even though we emit canonical codes instead of tree paths
+        # (documented deviation, entropy/cbahc.py)
+        from vcf_tpu.entropy.cbahc import _py_encode
+
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 16, 400).astype(np.uint8)
+        counts = np.ones(256, np.int64)
+        total_bits = 0
+        for s in data.tolist():
+            total_bits += int(reference_cbahc_lengths(counts.tolist())[s])
+            counts[s] += 1
+        payload = _py_encode(data, order=0)
+        assert len(payload) == (total_bits + 7) // 8

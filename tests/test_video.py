@@ -146,3 +146,32 @@ class TestIPPGeneric:
         rec = video.get(vcfg, ccfg).decode(CodeStream.from_bytes(cs.to_bytes()))
         assert rec.shape == frames.shape
         assert metrics.rmse(frames, rec) < 12.0
+
+
+def test_video_decode_preview(tmp_path):
+    """--preview emits per-frame PNGs + a preview container
+    (IPP_DCT.py:796-855 parity)."""
+    import subprocess, sys, glob, os
+    from vcf_tpu.io.video import test_video, write_video
+
+    src = str(tmp_path / "in.y4m")
+    write_video(src, test_video(4, 64, 64))
+    enc = str(tmp_path / "enc")
+    dec = str(tmp_path / "out.y4m")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
+    r1 = subprocess.run(
+        [sys.executable, "-m", "vcf_tpu", "video-encode", "-T", "IPP",
+         "-o", src, "-e", enc, "-N", "4", "-G", "2", "-c", "z_lib"],
+        env=env, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr
+    prefix = str(tmp_path / "prev")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "vcf_tpu", "video-decode", "-T", "IPP",
+         "-e", enc, "-d", dec, "-N", "4", "-G", "2", "-c", "z_lib",
+         "--preview", prefix],
+        env=env, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr
+    pngs = sorted(glob.glob(prefix + "_*.png"))
+    assert len(pngs) == 4
+    assert os.path.exists(prefix + ".mp4") or os.path.exists(prefix + ".y4m")

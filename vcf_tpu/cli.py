@@ -97,8 +97,11 @@ def add_stage_flags(p: argparse.ArgumentParser) -> None:
                    help="RD-optimize the DCT block size over 2..128 "
                         "(J = bytes + Lambda*RMSE, src/2D-DCT.py:533-579)")
     p.add_argument("--order", type=int, default=1)
-    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--side_info", default="",
+                   help="external file for trained LBT weights "
+                        "(2D-LBT.py:39,48); default: inside the stream")
     p.add_argument("-b", "--block_size_VQ", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-g", "--debug", action="store_true")
@@ -135,6 +138,7 @@ def config_from_args(args) -> CodecConfig:
         wavelet=args.wavelet,
         lbt_epochs=args.epochs,
         lbt_lr=args.lr,
+        lbt_side_info=getattr(args, "side_info", ""),
         qss=args.QSS if quant in ("deadzone", "lloydmax") else 32,
         q_min=args.min_val,
         q_max=args.max_val,
@@ -220,6 +224,10 @@ def main(argv: Optional[list] = None) -> int:
     pvd.add_argument("-e", "--encoded", default="/tmp/encoded_video")
     pvd.add_argument("-d", "--decoded", required=True,
                      help="output video (.y4m/.npz)")
+    pvd.add_argument("--preview", default="",
+                     help="also emit per-frame PNGs {prefix}_NNNN.png and "
+                          "an mp4 preview {prefix}.mp4 (y4m when PyAV is "
+                          "absent), parity with IPP_DCT.py:796-855")
     add_stage_flags(pvd)
     add_video_flags(pvd)
 
@@ -312,6 +320,11 @@ def main(argv: Optional[list] = None) -> int:
         frames = codec.decode(cs)
         write_video(args.decoded, frames)
         logging.info("wrote %s (%d frames)", args.decoded, frames.shape[0])
+        if args.preview:
+            from vcf_tpu.io.video import write_preview
+
+            for p in write_preview(args.preview, frames):
+                logging.info("preview: %s", p)
         return 0
 
     return 1

@@ -53,9 +53,12 @@ class CodecConfig:
     perceptual: bool = False     # -p  (JPEG-table coefficient prescale)
     dwt_levels: int = 5          # -l
     wavelet: str = "db5"         # -w
-    lbt_epochs: int = 200        # --epochs (reference default 1000; see ops/lbt.py)
+    lbt_epochs: int = 1000       # --epochs (2D-LBT.py:40 default)
     lbt_lr: float = 1e-3         # --lr
     lbt_lambda: float = 0.0      # -L regularizer weight for LBT training
+    # --side_info: external path for the trained LBT weights instead of
+    # carrying them inside the codestream (2D-LBT.py:39,48,391-398)
+    lbt_side_info: str = ""
 
     # ---- quantizer knobs -------------------------------------------------
     qss: int = 32                # -q for deadzone / lloydmax

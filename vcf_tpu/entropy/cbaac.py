@@ -27,11 +27,15 @@ from vcf_tpu import native
 _RC_TOP = 1 << 24
 _RC_BOT = 1 << 16
 _MAX_TOTAL = 16384
-_FREQ_INC = 32
 _M32 = 0xFFFFFFFF
 
 
 class _Model:
+    """Reference AdaptiveModel update law (src/CBAAC.py:34-47): Laplace
+    init (all 1s), +1 increments, rescale `(f >> 1) + 1` fired when the
+    total BEFORE the increment had reached max_freq (the reference
+    tests its stale `self.total`, recomputed only at the end)."""
+
     __slots__ = ("freq", "total")
 
     def __init__(self):
@@ -39,10 +43,11 @@ class _Model:
         self.total = 256
 
     def update(self, sym: int):
-        self.freq[sym] += _FREQ_INC
-        self.total += _FREQ_INC
-        if self.total >= _MAX_TOTAL:
-            self.freq = (self.freq + 1) >> 1
+        prev_total = self.total
+        self.freq[sym] += 1
+        self.total += 1
+        if prev_total >= _MAX_TOTAL:
+            self.freq = (self.freq >> 1) + 1
             self.total = int(self.freq.sum())
 
 

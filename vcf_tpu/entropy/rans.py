@@ -60,11 +60,11 @@ def quantize_freqs(counts: np.ndarray, k: int = K_PROB,
     total = 1 << k
     counts = counts.astype(np.float64)
     n_syms = counts.shape[0]
+    if counts.sum() == 0:
+        # all-zero counts (e.g. empty training sample): intentional
+        # uniform model rather than a 0/0 division below
+        counts[:] = 1.0
     present = np.ones(n_syms, bool) if min_all else counts > 0
-    if not present.any():
-        present = np.zeros(n_syms, bool)
-        present[0] = True
-        counts[0] = 1.0
     f = np.zeros(n_syms, np.int64)
     scaled = counts / counts.sum() * total
     f[present] = np.maximum(1, np.round(scaled[present]).astype(np.int64))

@@ -4,7 +4,9 @@ Capability parity with the reference's default entropy stage,
 src/TIFF.py:23-39 (`tifffile.imwrite(..., compression='zlib')`).
 Self-contained little-endian baseline TIFF writer/reader: one IFD,
 Compression=8 (Adobe Deflate), chunky RGB or grayscale, 8/16-bit,
-strip-per-image.
+strip-per-image.  The reader additionally accepts multi-strip files,
+LZW (5), PackBits (32773) and the horizontal-differencing predictor,
+so TIFFs from cv2/imageio/tifffile round-trip (tests/test_containers.py).
 """
 
 from __future__ import annotations
@@ -86,6 +88,72 @@ def write_tiff(arr: np.ndarray, level: int = 6) -> bytes:
     return header + data + ifd + extra_blob
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec section 13): MSB-first 9..12-bit codes,
+    ClearCode 256, EOI 257, with the "early change" code-width bump at
+    next_code == 2^width - 1.  Needed to read LZW TIFFs from common
+    writers (cv2 compresses TIFF with LZW by default)."""
+    clear_code, eoi = 256, 257
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width, next_code = 9, 258
+    buf = nbits = pos = 0
+    ln = len(data)
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= ln:
+                return bytes(out)
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear_code:
+            table = list(base)
+            width, next_code = 9, 258
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table.append(entry)
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773) run-length decoding."""
+    out = bytearray()
+    i, ln = 0, len(data)
+    while i < ln:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+_T_PREDICTOR = 317
+
+
 def read_tiff(blob: bytes) -> np.ndarray:
     if blob[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
@@ -119,15 +187,24 @@ def read_tiff(blob: bytes) -> np.ndarray:
     compression = tags.get(_T_COMPRESSION, (1,))[0]
     offsets = tags[_T_STRIP_OFFSETS]
     counts = tags[_T_STRIP_COUNTS]
-    raw = b"".join(
-        blob[o : o + cnt] for o, cnt in zip(offsets, counts)
-    )
     if compression in (8, 32946):  # deflate
-        raw = zlib.decompress(raw)
-    elif compression != 1:
+        expand = zlib.decompress
+    elif compression == 5:  # LZW
+        expand = _lzw_decode
+    elif compression == 32773:  # PackBits
+        expand = _packbits_decode
+    elif compression == 1:
+        expand = lambda b: b  # noqa: E731
+    else:
         raise ValueError(f"unsupported TIFF compression {compression}")
+    raw = b"".join(
+        expand(blob[o : o + cnt]) for o, cnt in zip(offsets, counts)
+    )
     dtype = np.uint8 if bits == 8 else np.dtype(f"{bo}u2")
     arr = np.frombuffer(raw, dtype=dtype, count=h * w * c).reshape(h, w, c)
+    if tags.get(_T_PREDICTOR, (1,))[0] == 2:  # horizontal differencing
+        arr = np.cumsum(arr.astype(np.int64), axis=1)
+        arr = (arr & (0xFF if bits == 8 else 0xFFFF))
     arr = arr.astype(np.uint8 if bits == 8 else np.uint16)
     return arr[:, :, 0] if c == 1 else arr
 

@@ -73,6 +73,32 @@ def write_video(path: str, frames: np.ndarray, fps: int = 30) -> int:
     return os.path.getsize(path)
 
 
+def write_preview(prefix: str, frames: np.ndarray, fps: int = 30) -> list:
+    """Decode-side convenience outputs, parity with
+    src/IPP_DCT.py:796-855: per-frame PNGs `{prefix}_NNNN.png` plus one
+    preview video `{prefix}.mp4` (libx264 via PyAV when importable;
+    falls back to a lossless `{prefix}.y4m` otherwise).  Returns the
+    list of paths written."""
+    from vcf_tpu.io.images import write_image
+
+    frames = np.clip(np.asarray(frames), 0, 255).astype(np.uint8)
+    paths = []
+    for i, frame in enumerate(frames):
+        p = f"{prefix}_{i:04d}.png"
+        write_image(p, frame)
+        paths.append(p)
+    try:
+        import av  # noqa: F401
+
+        p = f"{prefix}.mp4"
+        write_video(p, frames, fps)
+    except ImportError:
+        p = f"{prefix}.y4m"
+        write_y4m(p, frames, fps)
+    paths.append(p)
+    return paths
+
+
 # ---------------------------------------------------------------------------
 # Y4M (C444, one byte per sample; we store RGB planes under the YUV tags,
 # which round-trips losslessly — header flag XRGB marks the convention)

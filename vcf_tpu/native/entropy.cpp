@@ -225,7 +225,6 @@ namespace {
 constexpr uint32_t RC_TOP = 1u << 24;
 constexpr uint32_t RC_BOT = 1u << 16;
 constexpr uint32_t MAX_TOTAL = 16384;
-constexpr uint16_t FREQ_INC = 32;
 
 struct Model {
   uint16_t freq[256];
@@ -248,13 +247,18 @@ struct Model {
     hi = c + freq[s];
     return s;
   }
+  // Reference update law (src/CBAAC.py:34-47): +1 increment; the
+  // rescale fires when the total BEFORE the increment had reached
+  // max_freq (the reference checks the stale self.total), and halves
+  // as (f >> 1) + 1.
   inline void update(int sym) {
-    freq[sym] += FREQ_INC;
-    total += FREQ_INC;
-    if (total >= MAX_TOTAL) {
+    const uint32_t prev_total = total;
+    freq[sym] += 1;
+    total += 1;
+    if (prev_total >= MAX_TOTAL) {
       total = 0;
       for (int i = 0; i < 256; ++i) {
-        freq[i] = (uint16_t)((freq[i] + 1) >> 1);
+        freq[i] = (uint16_t)((freq[i] >> 1) + 1);
         total += freq[i];
       }
     }

@@ -142,9 +142,15 @@ def encode(codec, img: np.ndarray) -> CodeStream:
     cs = CodeStream()
     codec._store_indexes(cs, k, qside, offset=soff, dtype=np.uint8)
     cs.put_shape(img.shape)
-    # decoder weights + mean are side info (src/2D-LBT.py:130-136)
-    cs.put_array("weights", np.asarray(dec_w, dtype=np.float32))
-    cs.put_array("mean", np.asarray(mean, dtype=np.float32))
+    # decoder weights + mean are side info (src/2D-LBT.py:130-136);
+    # --side_info redirects them to an external file (2D-LBT.py:391-398)
+    if cfg.lbt_side_info:
+        np.savez(cfg.lbt_side_info,
+                 weights=np.asarray(dec_w, dtype=np.float32),
+                 mean=np.asarray(mean, dtype=np.float32))
+    else:
+        cs.put_array("weights", np.asarray(dec_w, dtype=np.float32))
+        cs.put_array("mean", np.asarray(mean, dtype=np.float32))
     return cs
 
 
@@ -160,8 +166,14 @@ def decode(codec, cs: CodeStream) -> np.ndarray:
     coeff_img = codec._dequantize(k, qside, padded_shape)
     if cfg.subbands:
         coeff_img = dct_ops.from_subbands(coeff_img, b)
-    dec_w = jnp.asarray(cs.get_array("weights"))
-    mean = jnp.asarray(cs.get_array("mean"))
+    if cfg.lbt_side_info:
+        with np.load(cfg.lbt_side_info if cfg.lbt_side_info.endswith(".npz")
+                     else cfg.lbt_side_info + ".npz") as z:
+            dec_w = jnp.asarray(z["weights"])
+            mean = jnp.asarray(z["mean"])
+    else:
+        dec_w = jnp.asarray(cs.get_array("weights"))
+        mean = jnp.asarray(cs.get_array("mean"))
     h, w = padded_shape[:2]
     coeff = blocks_of(coeff_img, b)
     blocks = jnp.dot(coeff, dec_w.T, precision=jax.lax.Precision.HIGHEST) + mean

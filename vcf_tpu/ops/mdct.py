@@ -106,9 +106,32 @@ def synthesize(coeff: jnp.ndarray, b: int, out_hw: Tuple[int, int]) -> jnp.ndarr
     return imdct_axis(y, b, 0, out_hw[0])
 
 
-# The reference applies an empirical scale so MDCT coefficients land in
-# the same range the quantizers expect from the DCT (2D-MDCT.py:402-421).
-MDCT_SCALE = {"deadzone": 1.0, "lloydmax": 1.0}
+def mdct_scale_factor(b: int, quantizer: str) -> float:
+    """The reference's empirical per-quantizer divisor that maps raw
+    (unnormalized) MDCT coefficients into the range the quantizers
+    expect from the DCT (src/2D-MDCT.py:406-421): LloydMax -> b/1.5;
+    deadzone -> b/2 for b <= 8, b/4 for b >= 32, linear interpolation
+    of the divisor in between."""
+    if quantizer == "lloydmax":
+        return b / 1.5
+    if b <= 8:
+        return b / 2.0
+    if b >= 32:
+        return b / 4.0
+    t = (b - 8) / (32 - 8)
+    return (8 / 2.0) + t * ((32 / 4.0) - (8 / 2.0))
+
+
+def coeff_scale(b: int, quantizer: str) -> float:
+    """Multiplier applied to OUR orthonormal 2D MDCT coefficients so the
+    quantizer sees the reference's coefficient range.
+
+    The reference transform is unnormalized (cos matrix only,
+    src/2D-MDCT.py:105-127; the 2/N rides in the inverse :152), so its
+    2D coefficients are (b/2)x ours (we carry sqrt(2/b) per axis); it
+    then divides by `mdct_scale_factor` (:524, re-multiplied at :648).
+    Net: quantizer input = ref_raw / s = (b/2)/s * ours."""
+    return (b / 2.0) / mdct_scale_factor(b, quantizer)
 
 
 class MDCT:
@@ -125,6 +148,9 @@ class MDCT:
         padded = dct_ops.pad_centered(jnp.asarray(img, jnp.float32), b)
         ct = fwd(padded - soff)
         coeff = self._analyze(ct)  # (H+b, W+b, C)
+        # reference range normalization (2D-MDCT.py:524): quantizer sees
+        # coefficients scaled to the DCT range
+        coeff = coeff * coeff_scale(b, cfg.quantizer)
         if cfg.subbands:
             coeff = dct_ops.to_subbands(coeff, b)
 
@@ -146,6 +172,9 @@ class MDCT:
         coeff = codec._dequantize(k, qside, (ph + b, pw + b, 3))
         if cfg.subbands:
             coeff = dct_ops.from_subbands(coeff, b)
+        # invert the encode-side range normalization (2D-MDCT.py:648
+        # re-multiplies after synthesis; equivalent here by linearity)
+        coeff = coeff / coeff_scale(b, cfg.quantizer)
         ct = synthesize(coeff, b, (ph, pw))
         y = inv(ct) + soff
         y = dct_ops.unpad_centered(y, shape)

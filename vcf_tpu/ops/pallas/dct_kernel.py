@@ -45,7 +45,9 @@ def _encode_kernel(x_ref, bv_ref, bh_ref, o_ref, *, qss: int, offset: int):
     y = jnp.dot(bv_ref[:], x, preferred_element_type=jnp.float32)
     coeff = jnp.dot(y, bh_ref[:], preferred_element_type=jnp.float32)
     k = jnp.trunc(coeff * (1.0 / qss)).astype(jnp.int32) + offset
-    o_ref[0] = k.astype(jnp.uint8)
+    # Deadzone_Quantizer(min_val=0, max_val=255) saturates, not wraps
+    # (src/deadzone.py:64)
+    o_ref[0] = jnp.clip(k, 0, 255).astype(jnp.uint8)
 
 
 def _decode_kernel(k_ref, bv_ref, bh_ref, o_ref, *, qss: int, offset: int):

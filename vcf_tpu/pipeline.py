@@ -368,6 +368,12 @@ class Codec:
         cfg = self.config
         if cfg.quantizer == "vq":
             stored = k.astype(np.uint16)  # label map (src/VQ.py labels uint16)
+        elif cfg.quantizer == "deadzone" and dtype == np.uint8:
+            # the reference constructs Deadzone_Quantizer(Q_step,
+            # min_val=0, max_val=255) (src/deadzone.py:64): saturating
+            # indexes CLAMP to the quantizer support, they do not wrap
+            # through the uint8 cast (SURVEY §7.3 watch item)
+            stored = np.clip(k + offset, 0, 255).astype(dtype)
         else:
             stored = (k + offset).astype(dtype)  # wraps like the reference casts
         payload, side = self.entropy_codec.encode(stored)

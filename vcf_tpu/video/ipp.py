@@ -91,7 +91,8 @@ class IPPCodec:
             if cfg.subbands:
                 coeff = dct_ops.to_subbands(coeff, b)
             k = q_ops.deadzone_quantize(coeff, qss)
-            return (k + 128).astype(jnp.uint8)
+            # saturate, not wrap (Deadzone_Quantizer min/max, src/deadzone.py:64)
+            return jnp.clip(k + 128, 0, 255).astype(jnp.uint8)
 
         def dec(k_u8):
             k = k_u8.astype(jnp.int32) - 128
@@ -318,7 +319,8 @@ class IPPCodec:
             if cfg.subbands:
                 coeff = dct_ops.to_subbands(coeff, b)
             k = q_ops.deadzone_quantize(coeff, qss)
-            return (k + 128).astype(jnp.uint8)
+            # saturate, not wrap (Deadzone_Quantizer min/max, src/deadzone.py:64)
+            return jnp.clip(k + 128, 0, 255).astype(jnp.uint8)
 
         return run
 

@@ -10,9 +10,12 @@ and RD per config, and writes JSON to benchmarks/results.json.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(args):
@@ -35,6 +38,7 @@ def run(args):
         "dct_deadzone_tiff": CodecConfig(),
         "dct_deadzone_huffman": CodecConfig(entropy="huffman"),
         "dct_deadzone_rans": CodecConfig(entropy="rans"),
+        "dct_deadzone_grans": CodecConfig(entropy="grans"),
         # BASELINE config 3
         "dwt_deadzone_cbaac": CodecConfig(spatial="dwt", qss=16, dwt_levels=3,
                                           entropy="cbaac", context_tiles=4),
@@ -44,6 +48,9 @@ def run(args):
     }
 
     results = {}
+    if args.only:
+        keep = set(args.only.split(","))
+        stills = {k: v for k, v in stills.items() if k in keep}
     for name, cfg in stills.items():
         codec = Codec(cfg)
         cs = codec.encode(img)          # warm (compile)
@@ -67,14 +74,18 @@ def run(args):
         print(name, results[name])
 
     # BASELINE config 5: video
-    frames = test_video(args.frames, 288, 352)
-    for name, vcfg, ccfg in [
+    video_cfgs = [
         ("iii_dct", VideoConfig(mode="iii", n_frames=args.frames),
          CodecConfig(entropy="huffman")),
         ("ipp_dct", VideoConfig(mode="ipp", n_frames=args.frames, gop_size=4,
                                 me_block=16, search_range=8),
          CodecConfig(qss=64, entropy="huffman")),
-    ]:
+    ]
+    if args.only:
+        video_cfgs = [v for v in video_cfgs if v[0] in set(args.only.split(","))]
+    if video_cfgs:
+        frames = test_video(args.frames, 288, 352)
+    for name, vcfg, ccfg in video_cfgs:
         codec = video.get(vcfg, ccfg)
         cs = codec.encode(frames)
         t0 = time.perf_counter()
@@ -99,7 +110,7 @@ def run(args):
         "size": args.size, "frames": args.frames,
         "results": results,
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
@@ -111,6 +122,9 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", default="512x512")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", default="",
+                    help="comma-separated config names to run (compile budget)")
+    ap.add_argument("--out", default="results.json")
     args = ap.parse_args()
     if args.cpu:
         import jax

@@ -72,3 +72,40 @@ class TestSADKernel:
         mv_x, sad_x = motion.full_search(jnp.asarray(ref), jnp.asarray(cur), m=16, s=8)
         np.testing.assert_array_equal(np.asarray(mv_p), np.asarray(mv_x))
         np.testing.assert_allclose(np.asarray(sad_p), np.asarray(sad_x), atol=1e-1)
+
+
+def test_sad_search_vmap_interpret():
+    """sad_search under vmap (the GOP-batched IPP path) matches
+    full_search per batch element."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vcf_tpu.ops import motion
+    from vcf_tpu.ops.pallas.sad_kernel import sad_search
+
+    rng = np.random.default_rng(0)
+    refs = jnp.asarray(rng.integers(0, 255, (2, 32, 64)).astype(np.float32))
+    curs = jnp.asarray(np.roll(np.asarray(refs), (0, 3, -2), (0, 1, 2)))
+    mv_p, sad_p = jax.vmap(
+        lambda r, c: sad_search(r, c, 16, 4, interpret=True))(refs, curs)
+    mv_f, sad_f = jax.vmap(
+        lambda r, c: motion.full_search(r, c, 16, 4))(refs, curs)
+    np.testing.assert_allclose(np.asarray(sad_p), np.asarray(sad_f), rtol=1e-5)
+
+
+def test_ipp_make_search_selects_pallas(monkeypatch):
+    """IPPCodec routes ME through the Pallas kernel on TPU when it fits
+    VMEM (VERDICT r1 item 5)."""
+    import jax
+    from vcf_tpu.config import CodecConfig, VideoConfig
+    from vcf_tpu.video.ipp import IPPCodec
+
+    codec = IPPCodec(VideoConfig(), CodecConfig(use_pallas=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert codec._make_search(288, 352).kind == "pallas_sad"  # CIF fits
+    assert codec._make_search(1088, 1920).kind == "lax_full"  # > VMEM
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert codec._make_search(288, 352).kind == "lax_full"
+    codec2 = IPPCodec(VideoConfig(fast_search=True),
+                      CodecConfig(use_pallas=True))
+    assert codec2._make_search(288, 352).kind == "three_step"

@@ -264,3 +264,187 @@ class TestMinAllModel:
         words, states = rans.np_encode(syms.reshape(4, 64), f)
         out = rans.np_decode(words, states, f, 4, 64)
         np.testing.assert_array_equal(out, syms)
+
+
+class TestGroupedRANS:
+    """Per-lane-group tables (one model per DCT subband group)."""
+
+    def _make(self, g, sg, l, seed=0):
+        rng = np.random.default_rng(seed)
+        # group g biased toward different symbols so tables differ
+        syms = np.concatenate([
+            rng.integers(0, 8 + 16 * i, size=(sg, l), dtype=np.int64)
+            for i in range(g)]).astype(np.uint8)
+        freqs_g = np.stack([
+            rans.quantize_freqs(
+                np.bincount(syms[i * sg:(i + 1) * sg].reshape(-1),
+                            minlength=256), min_all=True)
+            for i in range(g)])
+        cums_g = np.stack([
+            np.concatenate(([0], np.cumsum(f)))[:256].astype(np.uint32)
+            for f in freqs_g])
+        return syms, freqs_g.astype(np.uint32), cums_g
+
+    def test_jax_matches_np_reference(self):
+        syms, fg, cg = self._make(g=4, sg=8, l=24)
+        w_np, st_np = rans.np_encode_grouped(syms, fg)
+        w_j, nw, st_j = rans.jax_encode_grouped(
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+        nw = int(nw)
+        np.testing.assert_array_equal(np.asarray(w_j[:nw]), w_np)
+        np.testing.assert_array_equal(np.asarray(st_j), st_np)
+
+    def test_roundtrip_jax(self):
+        syms, fg, cg = self._make(g=8, sg=16, l=40, seed=3)
+        w, nw, st = rans.jax_encode_grouped(
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+        nw = int(nw)
+        wpad = jnp.concatenate(
+            [w[:nw], jnp.zeros((syms.shape[0] + 16,), jnp.uint16)])
+        out = rans.jax_decode_grouped(
+            wpad, jnp.int32(0), st, jnp.asarray(fg), jnp.asarray(cg),
+            syms.shape[1])
+        np.testing.assert_array_equal(np.asarray(out), syms)
+
+    def test_np_roundtrip(self):
+        syms, fg, cg = self._make(g=2, sg=4, l=16, seed=5)
+        w, st = rans.np_encode_grouped(syms, fg)
+        out = rans.np_decode_grouped(w, st, fg, syms.shape[0], syms.shape[1])
+        np.testing.assert_array_equal(out, syms)
+
+    def test_g1_equals_global(self):
+        syms, fg, cg = self._make(g=1, sg=32, l=20, seed=7)
+        w1, nw1, st1 = rans.jax_encode_grouped(
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+        w0, nw0, st0 = rans.jax_encode(
+            jnp.asarray(syms), jnp.asarray(fg[0]), jnp.asarray(cg[0]))
+        assert int(nw1) == int(nw0)
+        np.testing.assert_array_equal(
+            np.asarray(w1[:int(nw1)]), np.asarray(w0[:int(nw0)]))
+        np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
+
+    def test_rate_beats_global_on_mixed_stats(self):
+        syms, fg, cg = self._make(g=4, sg=32, l=256, seed=9)
+        fq_glob = rans.quantize_freqs(
+            np.bincount(syms.reshape(-1), minlength=256), min_all=True)
+        cg_glob = np.concatenate(([0], np.cumsum(fq_glob)))[:256].astype(np.uint32)
+        _, nw_glob, _ = rans.jax_encode(
+            jnp.asarray(syms), jnp.asarray(fq_glob.astype(np.uint32)),
+            jnp.asarray(cg_glob))
+        _, nw_grp, _ = rans.jax_encode_grouped(
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+        assert int(nw_grp) < int(nw_glob)
+
+
+class TestSubbandLanes:
+    def test_roundtrip_layout(self):
+        rng = np.random.default_rng(11)
+        planes = rng.integers(0, 256, size=(2, 32, 48, 3), dtype=np.uint8)
+        s = 128  # G=64, sg=2; n=9216, L=72
+        lanes = rans.subband_lanes(jnp.asarray(planes), 4, s)
+        assert lanes.shape == (128, 9216 // 128)
+        back = rans.subband_unlanes(lanes, 4, planes.shape)
+        np.testing.assert_array_equal(np.asarray(back), planes)
+
+    def test_grouped_pipeline_roundtrip(self):
+        rng = np.random.default_rng(12)
+        planes = (rng.integers(0, 6, size=(1, 64, 64, 3)) * 17 + 100
+                  ).astype(np.uint8)
+        b, s = 8, 256
+        lanes = rans.subband_lanes(jnp.asarray(planes), b, s)
+        fg, cg = rans.subband_group_freqs(np.asarray(planes), b)
+        w, nw, st = rans.jax_encode_grouped(
+            lanes, jnp.asarray(fg), jnp.asarray(cg))
+        wpad = jnp.concatenate(
+            [w[:int(nw)], jnp.zeros((s + 16,), jnp.uint16)])
+        out = rans.jax_decode_grouped(
+            wpad, jnp.int32(0), st, jnp.asarray(fg), jnp.asarray(cg),
+            lanes.shape[1])
+        rec = rans.subband_unlanes(out, b, planes.shape)
+        np.testing.assert_array_equal(np.asarray(rec), planes)
+
+
+class TestGroupedRANSCodec:
+    def test_dct_plane_roundtrip_and_rate(self, ):
+        from vcf_tpu import Codec, CodecConfig, CodeStream, metrics
+        from vcf_tpu.io.images import test_image
+
+        img = test_image(256, 256, seed=3)
+        cfg_g = CodecConfig(entropy="grans")
+        cfg_d = CodecConfig(entropy="rans")
+        cs_g = Codec(cfg_g).encode(img)
+        cs_d = Codec(cfg_d).encode(img)
+        rec_g = Codec(cfg_g).decode(CodeStream.from_bytes(cs_g.to_bytes()))
+        rec_d = Codec(cfg_d).decode(CodeStream.from_bytes(cs_d.to_bytes()))
+        np.testing.assert_array_equal(rec_g, rec_d)  # entropy is lossless
+        # per-subband models beat the global table on DCT planes
+        assert metrics.bpp(cs_g, img.shape) < metrics.bpp(cs_d, img.shape)
+
+    def test_fallback_on_ungroupable_shape(self):
+        from vcf_tpu.entropy.rans import GroupedRANSCodec
+
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, size=(30, 31, 3), dtype=np.uint8)  # not %8
+        codec = GroupedRANSCodec()
+        payload, side = codec.encode(arr)
+        out = GroupedRANSCodec().decode(payload, side)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_uint16_fallback(self):
+        from vcf_tpu.entropy.rans import GroupedRANSCodec
+
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 400, size=(32, 32, 3)).astype(np.uint16)
+        codec = GroupedRANSCodec()
+        payload, side = codec.encode(arr)
+        out = GroupedRANSCodec().decode(payload, side)
+        np.testing.assert_array_equal(out, arr)
+
+
+class TestHierDecode:
+    """Two-level symbol resolve must be bit-identical to the flat one."""
+
+    def _enc(self, g, sg, l, seed):
+        rng = np.random.default_rng(seed)
+        syms = np.concatenate([
+            rng.integers(0, 250, size=(sg, l), dtype=np.int64) // (i + 1)
+            for i in range(g)]).astype(np.uint8)
+        fg = np.stack([
+            rans.quantize_freqs(np.bincount(
+                syms[i * sg:(i + 1) * sg].reshape(-1), minlength=256),
+                min_all=True) for i in range(g)]).astype(np.uint32)
+        cg = np.stack([np.concatenate(([0], np.cumsum(f)))[:256]
+                       for f in fg]).astype(np.uint32)
+        w, nw, st = rans.jax_encode_grouped(
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+        wpad = jnp.concatenate(
+            [w[:int(nw)], jnp.zeros((syms.shape[0] + 16,), jnp.uint16)])
+        return syms, fg, cg, wpad, st
+
+    @pytest.mark.parametrize("g,unroll", [(1, 1), (4, 1), (4, 2), (2, 4)])
+    def test_matches_flat_decode(self, g, unroll):
+        syms, fg, cg, wpad, st = self._enc(g, sg=16, l=32, seed=g)
+        flat = rans.jax_decode_grouped(
+            wpad, jnp.int32(0), st, jnp.asarray(fg), jnp.asarray(cg),
+            syms.shape[1])
+        hier = rans.jax_decode_hier(
+            wpad, jnp.int32(0), st, jnp.asarray(fg), jnp.asarray(cg),
+            syms.shape[1], unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(hier), np.asarray(flat))
+        np.testing.assert_array_equal(np.asarray(hier), syms)
+
+    def test_full_alphabet(self):
+        # exercise every symbol incl. boundaries 0/255 and bucket edges
+        syms = np.tile(np.arange(256, dtype=np.uint8), 8).reshape(16, 128)
+        fg = rans.quantize_freqs(
+            np.bincount(syms.reshape(-1), minlength=256), min_all=True
+        )[None].astype(np.uint32)
+        cg = np.concatenate(([0], np.cumsum(fg[0])))[:256][None].astype(np.uint32)
+        w, nw, st = rans.jax_encode_grouped(
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+        wpad = jnp.concatenate(
+            [w[:int(nw)], jnp.zeros((syms.shape[0] + 16,), jnp.uint16)])
+        out = rans.jax_decode_hier(
+            wpad, jnp.int32(0), st, jnp.asarray(fg), jnp.asarray(cg),
+            syms.shape[1], unroll=1)
+        np.testing.assert_array_equal(np.asarray(out), syms)

@@ -22,7 +22,8 @@ from vcf_tpu.entropy.png import PNGCodec
 from vcf_tpu.entropy.tiff import TIFFCodec
 from vcf_tpu.entropy.huffman import HuffmanCodec
 from vcf_tpu.entropy.interleaved import InterleavedHuffmanCodec
-from vcf_tpu.entropy.rans import RANSCodec, SparseRANSCodec
+from vcf_tpu.entropy.rans import (GroupedRANSCodec, RANSCodec,
+                                  SparseRANSCodec)
 from vcf_tpu.entropy.cbahc import CBAHCCodec
 from vcf_tpu.entropy.cbaac import CBAACCodec
 
@@ -35,6 +36,7 @@ _REGISTRY = {
     "ihuff": InterleavedHuffmanCodec,
     "rans": RANSCodec,
     "srans": SparseRANSCodec,
+    "grans": GroupedRANSCodec,
     "cbahc": CBAHCCodec,
     "cbaac": CBAACCodec,
 }

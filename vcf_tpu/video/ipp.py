@@ -21,7 +21,6 @@ a thread pool.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -78,6 +77,35 @@ class IPPCodec:
             gops, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
         ), g
 
+    def _make_search(self, h: int, w: int):
+        """Pick the motion-search implementation for (h, w) luma frames:
+        three-step when requested; otherwise the Pallas full-search SAD
+        kernel (ops/pallas/sad_kernel.py, reference role
+        IPP_DCT.py:225-244,360-368) when `use_pallas` is set, the
+        backend is TPU, and the whole frame + padded reference + pooling
+        matrices fit VMEM (~16 MB/core); else the lax full search."""
+        m, s = self.vcfg.me_block, self.vcfg.search_range
+
+        def tagged(kind, fn):
+            fn.kind = kind
+            return fn
+
+        if self.vcfg.fast_search:
+            return tagged("three_step",
+                          lambda r, c: motion.three_step_search(r, c, m, s))
+        n_disp = (2 * s + 1) ** 2
+        vmem_bytes = 4 * (
+            2 * h * w + (h + 2 * s) * (w + 2 * s)
+            + (h // m) * h + w * (w // m) + n_disp * (h // m) * (w // m)
+        )
+        if (self.ccfg.use_pallas and h % m == 0 and w % m == 0
+                and vmem_bytes < 12 * 1024 * 1024
+                and jax.default_backend() == "tpu"):
+            from vcf_tpu.ops.pallas.sad_kernel import sad_search
+
+            return tagged("pallas_sad", lambda r, c: sad_search(r, c, m, s))
+        return tagged("lax_full", lambda r, c: motion.full_search(r, c, m, s))
+
     def _build(self):
         cfg = self.ccfg
         if not self.fused:
@@ -115,10 +143,7 @@ class IPPCodec:
             cur = frame_u8.astype(jnp.float32)
             ref_l = motion.to_luma(ref_recon.astype(jnp.uint8))
             cur_l = motion.to_luma(frame_u8)
-            if self.vcfg.fast_search:
-                mv, _ = motion.three_step_search(ref_l, cur_l, m, s)
-            else:
-                mv, _ = motion.full_search(ref_l, cur_l, m, s)
+            mv, _ = self._make_search(*cur_l.shape)(ref_l, cur_l)
             pred = motion.compensate(ref_recon, mv, m, pad=max(s, 8))
             residual = jnp.clip(cur - pred + 128.0, 0.0, 255.0)
             k = enc(residual)
@@ -144,10 +169,7 @@ class IPPCodec:
                 cur = frame.astype(jnp.float32)
                 ref_l = motion.to_luma(jnp.clip(jnp.round(ref), 0, 255).astype(jnp.uint8))
                 cur_l = motion.to_luma(frame)
-                if self.vcfg.fast_search:
-                    mv, _ = motion.three_step_search(ref_l, cur_l, m, s)
-                else:
-                    mv, _ = motion.full_search(ref_l, cur_l, m, s)
+                mv, _ = self._make_search(*cur_l.shape)(ref_l, cur_l)
                 pred = motion.compensate(ref, mv, m, pad=max(s, 8))
                 residual = jnp.clip(cur - pred + 128.0, 0.0, 255.0)
                 k = enc(residual)
@@ -172,6 +194,60 @@ class IPPCodec:
 
         self._gop_encode_batch = jax.jit(jax.vmap(gop_encode))
         self._gop_decode_batch = jax.jit(jax.vmap(gop_decode))
+
+        # ------------------------------------------------------------------
+        # RDO GOP loop, same vmap+scan shape as the rdo=0 path (VERDICT r1
+        # item 9: the per-frame host loop does one round trip per frame);
+        # the per-block intra/inter decision rides inside the scan step.
+        # ------------------------------------------------------------------
+        lam = self.vcfg.rdo_lambda
+
+        def gop_encode_rdo(gop_frames):
+            k0 = enc(gop_frames[0].astype(jnp.float32))
+            recon0 = dec(k0)
+
+            def step(ref, frame):
+                cur = frame.astype(jnp.float32)
+                ref_u8 = jnp.clip(jnp.round(ref), 0, 255).astype(jnp.uint8)
+                ref_l = motion.to_luma(ref_u8)
+                cur_l = motion.to_luma(frame)
+                mv, _ = self._make_search(*cur_l.shape)(ref_l, cur_l)
+                pred = motion.compensate(ref, mv, m, pad=max(s, 8))
+                pred_l = motion.to_luma(
+                    jnp.clip(jnp.round(pred), 0, 255).astype(jnp.uint8))
+                inter = rdo_modes(cur_l, pred_l, lam)        # (nby, nbx)
+                mask = jnp.repeat(jnp.repeat(inter, m, 0), m, 1)[..., None]
+                residual = jnp.clip(cur - pred + 128.0, 0.0, 255.0)
+                src = jnp.where(mask, residual, cur)
+                k = enc(src)
+                rec_mixed = dec(k)
+                recon = jnp.where(
+                    mask, jnp.clip(pred + rec_mixed - 128.0, 0.0, 255.0),
+                    rec_mixed)
+                return recon, (k, mv, inter)
+
+            _, (ks, mvs, modes) = jax.lax.scan(step, recon0, gop_frames[1:])
+            planes = jnp.concatenate([k0[None], ks], axis=0)
+            return planes, mvs, modes
+
+        def gop_decode_rdo(planes, mvs, modes):
+            recon0 = dec(planes[0])
+
+            def step(ref, inp):
+                k, mv, inter = inp
+                pred = motion.compensate(ref, mv, m, pad=max(s, 8))
+                rec_mixed = dec(k)
+                mask = jnp.repeat(jnp.repeat(inter, m, 0), m, 1)[..., None]
+                recon = jnp.where(
+                    mask, jnp.clip(pred + rec_mixed - 128.0, 0.0, 255.0),
+                    rec_mixed)
+                return recon, recon
+
+            _, recs = jax.lax.scan(step, recon0, (planes[1:], mvs, modes))
+            return jnp.concatenate([recon0[None], recs], axis=0)
+
+        self._gop_encode_rdo_batch = jax.jit(jax.vmap(gop_encode_rdo))
+        self._gop_decode_rdo_batch = jax.jit(jax.vmap(gop_decode_rdo))
 
         # RDO helpers (per-block intra/inter decision on luma,
         # src/IPP_DCT.py:265-342): cost = D + lambda*R with the rate
@@ -206,8 +282,6 @@ class IPPCodec:
             inter = (d_p + lam * r_p) <= (d_i + lam * r_i)
             return inter.reshape(nby, nbx)
 
-        self._rdo_modes = jax.jit(rdo_modes)
-
     # ------------------------------------------------------------------
     def encode(self, frames: np.ndarray) -> CodeStream:
         vcfg = self.vcfg
@@ -228,39 +302,32 @@ class IPPCodec:
         planes: List[np.ndarray] = []
         mvs: Dict[str, np.ndarray] = {}
         modes: Dict[str, np.ndarray] = {}
+        # GOP-parallel device path: vmap over GOPs, scan inside (the RDO
+        # mode decision rides inside the scan step when rdo_lambda > 0)
+        t = vcfg.gop_size
+        n_pad = (-n) % t
+        padded = frames
+        if n_pad:
+            padded = np.concatenate([frames, np.repeat(frames[-1:], n_pad, 0)])
+        gops = padded.reshape(-1, t, *frames.shape[1:])
+        gops_dev, n_gops = self._shard_gops(gops)
         if vcfg.rdo_lambda == 0:
-            # GOP-parallel device path: vmap over GOPs, scan inside
-            t = vcfg.gop_size
-            n_pad = (-n) % t
-            padded = frames
-            if n_pad:
-                padded = np.concatenate([frames, np.repeat(frames[-1:], n_pad, 0)])
-            gops = padded.reshape(-1, t, *frames.shape[1:])
-            gops_dev, n_gops = self._shard_gops(gops)
             planes_b, mvs_b = self._gop_encode_batch(gops_dev)
-            planes_b = np.asarray(planes_b)[:n_gops].reshape(-1, *frames.shape[1:])
-            mvs_b = np.asarray(mvs_b)[:n_gops]  # (G, T-1, nby, nbx, 2)
-            for i in range(n):
-                planes.append(planes_b[i])
-                if i % t == 0:
-                    kinds.append("I")
-                else:
-                    kinds.append("P")
-                    mvs[f"mv_{i:04d}"] = mvs_b[i // t, i % t - 1]
+            modes_b = None
         else:
-            ref = None
-            for i in range(n):
-                frame = jnp.asarray(frames[i])
-                if i % vcfg.gop_size == 0:
-                    k, recon = self._intra_step(frame)
-                    kinds.append("I")
-                else:
-                    k, mv, recon, mode = self._encode_p_rdo(ref, frame)
-                    modes[f"modes_{i:04d}"] = np.asarray(mode)
-                    mvs[f"mv_{i:04d}"] = np.asarray(mv)
-                    kinds.append("P")
-                planes.append(np.asarray(k))
-                ref = recon
+            planes_b, mvs_b, modes_b = self._gop_encode_rdo_batch(gops_dev)
+            modes_b = np.asarray(modes_b)[:n_gops]  # (G, T-1, nby, nbx)
+        planes_b = np.asarray(planes_b)[:n_gops].reshape(-1, *frames.shape[1:])
+        mvs_b = np.asarray(mvs_b)[:n_gops]  # (G, T-1, nby, nbx, 2)
+        for i in range(n):
+            planes.append(planes_b[i])
+            if i % t == 0:
+                kinds.append("I")
+            else:
+                kinds.append("P")
+                mvs[f"mv_{i:04d}"] = mvs_b[i // t, i % t - 1]
+                if modes_b is not None:
+                    modes[f"modes_{i:04d}"] = modes_b[i // t, i % t - 1]
 
         cs = CodeStream()
         for i, plane in enumerate(planes):
@@ -278,68 +345,6 @@ class IPPCodec:
             "rdo": vcfg.rdo_lambda,
         })
         return cs
-
-    def _encode_p_rdo(self, ref, frame):
-        """P-frame with per-block intra/inter RDO (reassembles a mixed
-        source image: inter blocks carry residual+128, intra blocks the
-        original pixels; the mode map rides in the stream)."""
-        vcfg = self.vcfg
-        m = vcfg.me_block
-        cur = frame.astype(jnp.float32)
-        ref_l = motion.to_luma(ref.astype(jnp.uint8))
-        cur_l = motion.to_luma(frame)
-        if vcfg.fast_search:
-            mv, _ = motion.three_step_search(ref_l, cur_l, m, vcfg.search_range)
-        else:
-            mv, _ = motion.full_search(ref_l, cur_l, m, vcfg.search_range)
-        pred = motion.compensate(ref, mv, m, pad=max(vcfg.search_range, 8))
-        pred_l = motion.to_luma(pred.astype(jnp.uint8))
-        inter_mask = self._rdo_modes(cur_l, pred_l, vcfg.rdo_lambda)  # (nby, nbx)
-
-        mask_full = jnp.repeat(jnp.repeat(inter_mask, m, 0), m, 1)[..., None]
-        residual = jnp.clip(cur - pred + 128.0, 0.0, 255.0)
-        src = jnp.where(mask_full, residual, cur)
-        k = self._intra_step_plane(src)
-        rec_mixed = self._decode_plane(k)
-        recon = jnp.where(
-            mask_full, jnp.clip(pred + (rec_mixed - 128.0), 0.0, 255.0), rec_mixed
-        )
-        return k, mv, recon, np.asarray(inter_mask)
-
-    # device helpers reused by RDO path
-    @functools.cached_property
-    def _intra_step_plane(self):
-        cfg = self.ccfg
-        b, qss = cfg.block_size, cfg.qss
-        fwd, _ = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
-
-        @jax.jit
-        def run(img_f32):
-            coeff = dct_ops.analyze(fwd(img_f32 - 128.0), b)
-            if cfg.subbands:
-                coeff = dct_ops.to_subbands(coeff, b)
-            k = q_ops.deadzone_quantize(coeff, qss)
-            # saturate, not wrap (Deadzone_Quantizer min/max, src/deadzone.py:64)
-            return jnp.clip(k + 128, 0, 255).astype(jnp.uint8)
-
-        return run
-
-    @functools.cached_property
-    def _decode_plane(self):
-        cfg = self.ccfg
-        b, qss = cfg.block_size, cfg.qss
-        _, inv = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
-
-        @jax.jit
-        def run(k_u8):
-            k = k_u8.astype(jnp.int32) - 128
-            coeff = q_ops.deadzone_dequantize(k, qss)
-            if cfg.subbands:
-                coeff = dct_ops.from_subbands(coeff, b)
-            y = inv(dct_ops.synthesize(coeff, b)) + 128.0
-            return jnp.clip(jnp.round(y), 0.0, 255.0)
-
-        return run
 
     # ------------------------------------------------------------------
     def decode(self, cs: CodeStream) -> np.ndarray:
@@ -361,51 +366,36 @@ class IPPCodec:
             }
             planes.append(self.entropy_codec.decode(cs[f"f{i:04d}"], side))
 
-        if not rdo:
-            # GOP-parallel device decode (mirror of the encode path)
-            t = meta["gop"]
-            n_pad = (-n) % t
-            planes_np = np.stack(planes)
-            if n_pad:
-                planes_np = np.concatenate(
-                    [planes_np, np.repeat(planes_np[-1:], n_pad, 0)]
-                )
-            h, w = planes_np.shape[1:3]
-            nby, nbx = h // m, w // m
-            mv_all = np.zeros((planes_np.shape[0], nby, nbx, 2), np.int32)
-            for i in range(n):
-                if kinds[i] == "P":
-                    mv_all[i] = cs.get_array(f"mv_{i:04d}")
-            gops_p = planes_np.reshape(-1, t, *planes_np.shape[1:])
-            gops_mv = mv_all.reshape(-1, t, nby, nbx, 2)[:, 1:]
-            gp_dev, n_gops = self._shard_gops(gops_p)
-            gm_dev, _ = self._shard_gops(gops_mv)
-            recs = self._gop_decode_batch(gp_dev, gm_dev)
-            recs = np.asarray(recs)[:n_gops].reshape(-1, *planes_np.shape[1:])[:n]
-            return np.clip(recs, 0, 255).astype(np.uint8)
-
-        out = []
-        ref = None
+        # GOP-parallel device decode (mirror of the encode path; the RDO
+        # variant carries the per-block mode maps through the scan)
+        t = meta["gop"]
+        n_pad = (-n) % t
+        planes_np = np.stack(planes)
+        if n_pad:
+            planes_np = np.concatenate(
+                [planes_np, np.repeat(planes_np[-1:], n_pad, 0)]
+            )
+        h, w = planes_np.shape[1:3]
+        nby, nbx = h // m, w // m
+        mv_all = np.zeros((planes_np.shape[0], nby, nbx, 2), np.int32)
+        mode_all = np.zeros((planes_np.shape[0], nby, nbx), bool)
         for i in range(n):
-            dec = self._decode_plane(jnp.asarray(planes[i]))
-            if kinds[i] == "I":
-                recon = dec
-            else:
-                mv = jnp.asarray(cs.get_array(f"mv_{i:04d}"))
-                pred = motion.compensate(ref, mv, m, pad=max(s, 8))
-                if f"modes_{i:04d}" in cs:
-                    inter_mask = jnp.asarray(cs.get_array(f"modes_{i:04d}"))
-                    mask_full = jnp.repeat(jnp.repeat(inter_mask, m, 0), m, 1)[..., None]
-                    recon = jnp.where(
-                        mask_full,
-                        jnp.clip(pred + (dec - 128.0), 0.0, 255.0),
-                        dec,
-                    )
-                else:
-                    recon = jnp.clip(pred + (dec - 128.0), 0.0, 255.0)
-            out.append(np.asarray(recon).astype(np.uint8))
-            ref = recon
-        return np.stack(out)
+            if kinds[i] == "P":
+                mv_all[i] = cs.get_array(f"mv_{i:04d}")
+                if rdo:
+                    mode_all[i] = cs.get_array(f"modes_{i:04d}")
+        gops_p = planes_np.reshape(-1, t, *planes_np.shape[1:])
+        gops_mv = mv_all.reshape(-1, t, nby, nbx, 2)[:, 1:]
+        gp_dev, n_gops = self._shard_gops(gops_p)
+        gm_dev, _ = self._shard_gops(gops_mv)
+        if not rdo:
+            recs = self._gop_decode_batch(gp_dev, gm_dev)
+        else:
+            gops_mode = mode_all.reshape(-1, t, nby, nbx)[:, 1:]
+            gmode_dev, _ = self._shard_gops(gops_mode)
+            recs = self._gop_decode_rdo_batch(gp_dev, gm_dev, gmode_dev)
+        recs = np.asarray(recs)[:n_gops].reshape(-1, *planes_np.shape[1:])[:n]
+        return np.clip(recs, 0, 255).astype(np.uint8)
 
     # ------------------------------------------------------------------
     # Generic closed loop for arbitrary still pipelines (--st parity,
@@ -427,10 +417,8 @@ class IPPCodec:
                 cur = frames[i].astype(np.float32)
                 ref_l = motion.to_luma(jnp.asarray(ref))
                 cur_l = motion.to_luma(jnp.asarray(frames[i]))
-                if vcfg.fast_search:
-                    mv, _ = motion.three_step_search(ref_l, cur_l, m, s)
-                else:
-                    mv, _ = motion.full_search(ref_l, cur_l, m, s)
+                mv, _ = self._make_search(
+                    int(cur_l.shape[0]), int(cur_l.shape[1]))(ref_l, cur_l)
                 pred = np.asarray(
                     motion.compensate(jnp.asarray(ref, jnp.float32), mv, m,
                                       pad=max(s, 8))

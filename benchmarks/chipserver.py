@@ -32,7 +32,7 @@ def main() -> None:
     import jax  # noqa: F401  (one-time session setup)
 
     print("devices:", jax.devices(), flush=True)
-    shared: dict = {}
+    shared: dict = {}  # opt-in cross-job state: jobs read/write shared["..."]
     while True:
         with open(os.path.join(QDIR, "hb"), "w") as f:
             f.write(str(time.time()))
@@ -53,9 +53,12 @@ def main() -> None:
         t0 = time.time()
         try:
             src = open(path).read()
+            # fresh namespace per job (device buffers die with it —
+            # leaked HBM across jobs crashed the worker once); pass
+            # `shared` for opt-in cross-job state
+            ns = {"shared": shared}
             with contextlib.redirect_stdout(buf):
-                # shared namespace: later jobs can reuse earlier results
-                exec(compile(src, path, "exec"), shared)
+                exec(compile(src, path, "exec"), ns)
             status = "OK"
         except BaseException:
             buf.write("\n" + traceback.format_exc())
@@ -64,6 +67,10 @@ def main() -> None:
         with open(path + ".out", "w") as f:
             f.write(f"# {status} in {dt:.1f}s\n" + buf.getvalue())
         os.rename(path, path + ".done")
+        del ns
+        import gc
+
+        gc.collect()
         print(f"{job}: {status} in {dt:.1f}s", flush=True)
 
 

@@ -1,5 +1,11 @@
 """Component-level profiling of the device rANS codec on the real chip.
 
+CAVEAT (round-2 finding, docs/PERF_NOTES.md): every dispatch through
+the axon tunnel costs ~25 ms wall, and `timeit` here times one dispatch
+per rep — so every number below includes that constant.  Attribute
+costs by DIFFERENCING rows (e.g. dec_full - dec_bare), or use bench.py's
+in-dispatch fori_loop method for absolute throughput.
+
 Times each piece of the encode/decode pipeline in isolation (with
 ablated variants to attribute scan cost): the transform, the table
 lookup, the encode scan, the global compaction, the decode scan, and

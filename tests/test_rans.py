@@ -448,3 +448,40 @@ class TestHierDecode:
             wpad, jnp.int32(0), st, jnp.asarray(fg), jnp.asarray(cg),
             syms.shape[1], unroll=1)
         np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+class TestChunkedRouting:
+    def test_expand_chunked_matches_global(self):
+        rng = np.random.default_rng(0)
+        n, chunk = 8 * 512, 512
+        flags = jnp.asarray(rng.random(n) < 0.07)
+        n_nz = int(jnp.sum(flags.astype(jnp.int32)))
+        vals = jnp.asarray(
+            np.concatenate([rng.integers(1, 255, n_nz),
+                            np.zeros(n - n_nz)]).astype(np.uint32))
+        glob = rans.butterfly_expand(vals, flags)
+        chk = rans.butterfly_expand_chunked(vals[:n_nz + 3], flags, chunk)
+        np.testing.assert_array_equal(np.asarray(chk), np.asarray(glob))
+
+    def test_expand_chunked_tail_heavy(self):
+        # all nonzeros in the last chunk: offsets reach past the prefix
+        n, chunk = 4 * 256, 256
+        flags = np.zeros(n, bool)
+        flags[-200:] = True
+        vals = jnp.asarray(np.arange(1, 201, dtype=np.uint32))
+        out = np.asarray(rans.butterfly_expand_chunked(
+            vals, jnp.asarray(flags), chunk))
+        np.testing.assert_array_equal(out[-200:], np.arange(1, 201))
+        assert (out[:-200] == 0).all()
+
+    def test_compact_chunked_matches_global(self):
+        rng = np.random.default_rng(1)
+        n, chunk = 16 * 1024, 1024
+        vals = jnp.asarray(rng.integers(0, 65535, n).astype(np.uint16))
+        flags = jnp.asarray(rng.random(n) < 0.1)
+        glob = rans.butterfly_compact(vals, flags)
+        n_f = int(jnp.sum(flags.astype(jnp.int32)))
+        chk, cnt = rans.butterfly_compact_chunked(vals, flags, chunk)
+        assert int(cnt) == n_f
+        np.testing.assert_array_equal(
+            np.asarray(chk)[:n_f], np.asarray(glob)[:n_f])

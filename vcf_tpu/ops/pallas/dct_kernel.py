@@ -65,6 +65,14 @@ def _chunk_w(w: int, b: int) -> int:
     return max(cw, b)
 
 
+def supports(h: int, w: int) -> bool:
+    """Shapes these kernels compile for on real TPU: Mosaic's uint8
+    min-tile is (32, 128), so rows must tile by 32 and the lane chunk
+    must be a 128-multiple (CIF's 352 is not; those shapes take the XLA
+    path)."""
+    return h % ROWS == 0 and w % 128 == 0 and _chunk_w(w, 8) % 128 == 0
+
+
 @functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret"))
 def fused_dct_quantize(planes: jnp.ndarray, b: int = 8, qss: int = 32,
                        offset: int = 128, interpret: bool = False) -> jnp.ndarray:

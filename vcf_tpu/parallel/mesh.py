@@ -87,7 +87,9 @@ class BatchCodec:
         def encode_one(img_u8):
             x = img_u8.astype(jnp.float32) - soff
             ct = fwd(x)
-            if self._pallas_ok and ct.shape[0] % 32 == 0:
+            from vcf_tpu.ops.pallas import dct_kernel as _dk
+
+            if self._pallas_ok and _dk.supports(*ct.shape[:2]):
                 from vcf_tpu.ops.pallas import fused_dct_quantize
 
                 planes = ct.transpose(2, 0, 1)  # planar for lane efficiency
@@ -107,7 +109,9 @@ class BatchCodec:
             return (k + soff).astype(jnp.uint8)
 
         def decode_one(k_u8):
-            if self._pallas_ok and k_u8.shape[0] % 32 == 0:
+            from vcf_tpu.ops.pallas import dct_kernel as _dk
+
+            if self._pallas_ok and _dk.supports(*k_u8.shape[:2]):
                 from vcf_tpu.ops.pallas import fused_dequantize_idct
 
                 k_img = k_u8

@@ -109,6 +109,9 @@ def main():
 
     cfg = CodecConfig(entropy="rans")
     enc_t, dec_t = build_transform_fns(cfg, h, w)
+    # the grouped path fuses the subband permutation into the laning
+    # (rans_mod.block_lanes), so its transform skips to_subbands
+    enc_tb, dec_tb = build_transform_fns(cfg.replace(subbands=False), h, w)
     b = cfg.block_size
 
     n_syms = frames.size
@@ -198,35 +201,37 @@ def main():
     @jax.jit
     def encode_grouped_reps(reps, fd):
         def body(i, acc):
-            planes = enc_t(jnp.roll(fd, i, axis=0))
-            lanes = rans_mod.subband_lanes(planes, b, s_streams)
+            planes = enc_tb(jnp.roll(fd, i, axis=0))
+            lanes = rans_mod.block_lanes(planes, b, s_streams)
             _, nw_, st = rans_mod.jax_encode_grouped(lanes, fg_j, cg_j)
             return acc + nw_ + st[0].astype(jnp.int32)
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     @jax.jit
     def encode_grouped(fd):
-        planes = enc_t(fd)
-        lanes = rans_mod.subband_lanes(planes, b, s_streams)
+        planes = enc_tb(fd)
+        lanes = rans_mod.block_lanes(planes, b, s_streams)
         return rans_mod.jax_encode_grouped(lanes, fg_j, cg_j)
+
+    unroll = next(u for u in (5, 3, 2, 1) if l_steps % u == 0)
 
     @jax.jit
     def decode_grouped_reps(reps, wp, st):
         def body(i, acc):
             st_i = st ^ (i.astype(jnp.uint32) & jnp.uint32(1))
             lanes = rans_mod.jax_decode_hier(wp, jnp.int32(0), st_i, fg_j,
-                                             cg_j, l_steps)
-            planes = rans_mod.subband_unlanes(lanes, b, (n_frames, h, w, 3))
-            rec = dec_t(planes)
+                                             cg_j, l_steps, unroll=unroll)
+            planes = rans_mod.block_unlanes(lanes, b, (n_frames, h, w, 3))
+            rec = dec_tb(planes)
             return acc + rec[0, 0, 0, 0].astype(jnp.int32)
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     @jax.jit
     def decode_grouped(wp, st):
         lanes = rans_mod.jax_decode_hier(wp, jnp.int32(0), st, fg_j, cg_j,
-                                         l_steps)
-        planes = rans_mod.subband_unlanes(lanes, b, (n_frames, h, w, 3))
-        return dec_t(planes)
+                                         l_steps, unroll=unroll)
+        planes = rans_mod.block_unlanes(lanes, b, (n_frames, h, w, 3))
+        return dec_tb(planes)
 
     grouped = None
     try:
@@ -251,119 +256,6 @@ def main():
 
         traceback.print_exc(file=sys.stderr)
         grouped = {"error": repr(e)[:200]}
-
-    # ---- sparse-grouped device codec --------------------------------------
-    # Flags (zero bitplane, packed to bytes) coded with per-subband
-    # models; nonzeros compacted (chunked butterflies) and coded with a
-    # global model.  ~6x fewer sequential-scan symbols than dense at the
-    # same per-subband rate.
-    g64 = b * b
-
-    def to_subband_flat(planes):
-        sb = planes.reshape(n_frames, b, h // b, b, w // b, 3)
-        return sb.transpose(1, 3, 0, 2, 4, 5).reshape(-1)
-
-    def from_subband_flat(flat):
-        sb = flat.reshape(b, b, n_frames, h // b, w // b, 3)
-        return sb.transpose(2, 0, 3, 1, 4, 5).reshape(n_frames, h, w, 3)
-
-    k0_flat = np.asarray(to_subband_flat(
-        jnp.asarray(np.repeat(k0, n_frames, axis=0))))[:n_syms]
-    zero_sym = np.uint8(np.bincount(k0_flat, minlength=256).argmax())
-    flags0 = k0_flat != zero_sym
-    frac_nz = max(flags0.mean(), 1e-4)
-    s_fl, s_nz = 8192, 4096
-    l_fl = n_syms // 8 // s_fl
-    cap = int(min(n_syms // s_nz * s_nz,
-                  max(s_nz, -(-int(n_syms * frac_nz * 1.3) // s_nz) * s_nz)))
-    l_nz = cap // s_nz
-    fb0 = np.packbits(flags0).reshape(g64, -1)
-    ffl = np.stack([rans_mod.quantize_freqs(
-        np.bincount(fb0[i], minlength=256), min_all=True) for i in range(g64)])
-    cfl = np.stack([np.concatenate(([0], np.cumsum(f)))[:256]
-                    for f in ffl]).astype(np.uint32)
-    nz0 = k0_flat[flags0]
-    fnz = rans_mod.quantize_freqs(
-        np.bincount(nz0, minlength=256), min_all=True)[None]
-    cnz = np.concatenate(([0], np.cumsum(fnz[0])))[:256][None].astype(np.uint32)
-    fill = np.uint8(np.bincount(nz0, minlength=256).argmax() if nz0.size else 0)
-    ffl_j, cfl_j = jnp.asarray(ffl.astype(np.uint32)), jnp.asarray(cfl)
-    fnz_j, cnz_j = jnp.asarray(fnz.astype(np.uint32)), jnp.asarray(cnz)
-
-    def sg_encode(fd):
-        planes = enc_t(fd)
-        flat = to_subband_flat(planes)
-        flags = flat != zero_sym
-        fbytes = rans_mod.pack_flags(flags)
-        flanes = fbytes.reshape(g64, l_fl * (s_fl // g64)).reshape(
-            g64, l_fl, s_fl // g64).transpose(0, 2, 1).reshape(s_fl, l_fl)
-        fw, fnw, fst = rans_mod.jax_encode_grouped(flanes, ffl_j, cfl_j)
-        nz_all, n_nz = rans_mod.butterfly_compact_chunked(flat, flags)
-        nz = jnp.where(jnp.arange(cap) < n_nz, nz_all[:cap],
-                       jnp.uint8(fill))
-        zlanes = nz.reshape(l_nz, s_nz).T
-        zw, znw, zst = rans_mod.jax_encode(zlanes, fnz_j[0], cnz_j[0])
-        return fw, fnw, fst, zw, znw, zst, n_nz
-
-    def sg_decode(fwp, fst, zwp, zst):
-        flanes = rans_mod.jax_decode_hier(fwp, jnp.int32(0), fst, ffl_j,
-                                          cfl_j, l_fl)
-        fbytes = flanes.reshape(g64, s_fl // g64, l_fl).transpose(
-            0, 2, 1).reshape(-1)
-        flags = rans_mod.unpack_flags(fbytes)
-        zlanes = rans_mod.jax_decode_hier(zwp, jnp.int32(0), zst, fnz_j,
-                                          cnz_j, l_nz)
-        nz = zlanes.T.reshape(-1)
-        routed = rans_mod.butterfly_expand_chunked(
-            nz.astype(jnp.uint32), flags)
-        flat = jnp.where(flags, routed.astype(jnp.uint8), zero_sym)
-        return dec_t(from_subband_flat(flat))
-
-    @jax.jit
-    def encode_sg_reps(reps, fd):
-        def body(i, acc):
-            _, fnw, fst, _, znw, zst, n_nz = sg_encode(jnp.roll(fd, i, axis=0))
-            return acc + fnw + znw + fst[0].astype(jnp.int32) + n_nz
-        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
-
-    @jax.jit
-    def decode_sg_reps(reps, fwp, fst, zwp, zst):
-        def body(i, acc):
-            fst_i = fst ^ (i.astype(jnp.uint32) & jnp.uint32(1))
-            rec = sg_decode(fwp, fst_i, zwp, zst)
-            return acc + rec[0, 0, 0, 0].astype(jnp.int32)
-        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
-
-    sg = None
-    try:
-        t_enc_s, _ = timed(encode_sg_reps, frames_dev)
-        fw, fnw, fst, zw, znw, zst, n_nz = jax.jit(sg_encode)(frames_dev)
-        fnw_i, znw_i, n_nz_i = int(fnw), int(znw), int(n_nz)
-        if n_nz_i > cap:
-            raise ValueError(f"nz overflow: {n_nz_i} > cap {cap}")
-        fwp = jax.block_until_ready(jnp.concatenate(
-            [fw[:fnw_i], jnp.zeros((s_fl + 16,), jnp.uint16)]))
-        zwp = jax.block_until_ready(jnp.concatenate(
-            [zw[:znw_i], jnp.zeros((s_nz + 16,), jnp.uint16)]))
-        t_dec_s, _ = timed(decode_sg_reps, fwp, fst, zwp, zst)
-        rec_s = np.asarray(jax.device_get(jax.jit(sg_decode)(fwp, fst, zwp, zst)))
-        err_s = float(np.sqrt(np.mean(
-            (rec_s[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
-        side_s = 4 * (s_fl + s_nz) + len(_z.compress(
-            ffl.astype("<u2").tobytes() + fnz.astype("<u2").tobytes(), 9))
-        sg = {
-            "encode_s": round(t_enc_s, 4), "decode_s": round(t_dec_s, 4),
-            "gbps": round(frames.nbytes / (t_enc_s + t_dec_s) / 1e9, 4),
-            "rmse": round(err_s, 3),
-            "bpp": round((2 * (fnw_i + znw_i) + side_s) * 8
-                         / (n_frames * h * w), 4),
-            "nz_fraction": round(n_nz_i / n_syms, 4),
-        }
-    except Exception as e:  # pragma: no cover - perf fallback only
-        import sys, traceback
-
-        traceback.print_exc(file=sys.stderr)
-        sg = {"error": repr(e)[:200]}
 
     # ---- transform-only device throughput (no entropy) -------------------
     @jax.jit
@@ -423,12 +315,6 @@ def main():
         best_gbps, best_entropy = grouped["gbps"], "grouped-rans(device)"
         best = {k: grouped[k] for k in ("encode_s", "decode_s", "gbps",
                                         "rmse", "bpp")}
-    # sparse-grouped takes the headline on outright speed at equal
-    # quality and no worse rate than the dense path
-    if lossless(sg) and sg["gbps"] > best_gbps and sg["bpp"] <= bpp:
-        best_gbps, best_entropy = sg["gbps"], "sparse-grouped-rans(device)"
-        best = {k: sg[k] for k in ("encode_s", "decode_s", "gbps",
-                                   "rmse", "bpp")}
     result = {
         "metric": "device-resident encode+decode GB/s per chip "
                   "(1080p, DCT+deadzone+rANS, full codec incl. entropy)",
@@ -448,10 +334,9 @@ def main():
                            and jax.default_backend() == "tpu"),
             "entropy": best_entropy,
             "timing": "per-rep via in-dispatch fori_loop, RTT-subtracted",
-            "dispatch_rtt_s": round(rtt - t_enc, 4),
+            "dispatch_rtt_s": round(max(rtt - t_enc, 0.0), 4),
             "dense": dense,
             "grouped": grouped,
-            "sparse_grouped": sg,
         },
     }
     print(json.dumps(result))

@@ -485,3 +485,19 @@ class TestChunkedRouting:
         assert int(cnt) == n_f
         np.testing.assert_array_equal(
             np.asarray(chk)[:n_f], np.asarray(glob)[:n_f])
+
+
+def test_block_lanes_equals_subband_lanes_composed():
+    from vcf_tpu.ops import dct as dct_ops
+
+    rng = np.random.default_rng(3)
+    planes = rng.integers(0, 256, size=(2, 32, 64, 3), dtype=np.uint8)
+    s = 256  # G=64, sg=4
+    import jax
+    via_sb = rans.subband_lanes(
+        jax.vmap(lambda p: dct_ops.to_subbands(p, 8))(jnp.asarray(planes)),
+        8, s)
+    direct = rans.block_lanes(jnp.asarray(planes), 8, s)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_sb))
+    back = rans.block_unlanes(direct, 8, planes.shape)
+    np.testing.assert_array_equal(np.asarray(back), planes)

@@ -212,20 +212,24 @@ def butterfly_expand(chunk: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
     active = idx < c
     # position of the j-th flag, packed to the front
     sel = butterfly_compact(idx, flags)
-    shift = jnp.where(active, sel - idx, 0)
-    val = chunk.astype(jnp.uint32)
+    # shifts are in [0, s): uint16 when it fits — the shift array is a
+    # third of per-stage traffic and the routing runs once per decode
+    # scan step (measured win on the v5e)
+    sdt = jnp.uint16 if s <= (1 << 16) else jnp.int32
+    shift = jnp.where(active, sel - idx, 0).astype(sdt)
+    val = chunk  # keep the caller's dtype (uint16 words route as-is)
     n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
     for kbit in range(n_stages - 1, -1, -1):
         step = 1 << kbit
-        move = active & ((shift & step) != 0)
+        move = active & ((shift & sdt(step)) != 0)
         val_in = _shift_right(val, step)
         act_in = _shift_right(move, step, fill=False)
         shift_in = _shift_right(shift, step)
         stay = active & ~move
         val = jnp.where(act_in, val_in, val)
-        shift = jnp.where(act_in, shift_in - step, shift)
+        shift = jnp.where(act_in, shift_in - sdt(step), shift)
         active = act_in | stay
-    return jnp.where(flags, val, 0)
+    return jnp.where(flags, val, jnp.zeros((), val.dtype))
 
 
 def butterfly_compact(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
@@ -235,20 +239,21 @@ def butterfly_compact(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
     s = flags.shape[0]
     ranks = jnp.cumsum(flags.astype(jnp.int32)) - flags.astype(jnp.int32)
     idx = jnp.arange(s, dtype=jnp.int32)
-    shift = jnp.where(flags, idx - ranks, 0)
+    sdt = jnp.uint16 if s <= (1 << 16) else jnp.int32
+    shift = jnp.where(flags, idx - ranks, 0).astype(sdt)
     val = vals
     active = flags
     n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
     for kbit in range(n_stages):
         step = 1 << kbit
-        move = active & ((shift & step) != 0)
+        move = active & ((shift & sdt(step)) != 0)
         # element at i moves to i - step
         val_in = jnp.concatenate([val[step:], val[:step]], axis=0)
         move_in = jnp.concatenate([move[step:], jnp.zeros(step, bool)], axis=0)
         shift_in = jnp.concatenate([shift[step:], shift[:step]], axis=0)
         stay = active & ~move
         val = jnp.where(move_in, val_in, val)
-        shift = jnp.where(move_in, shift_in - step, shift)
+        shift = jnp.where(move_in, shift_in - sdt(step), shift)
         active = move_in | stay
     return val
 
@@ -408,7 +413,7 @@ def jax_decode(words_padded: jnp.ndarray, start: jnp.ndarray,
         x = f * (x >> K_PROB) + slot - cum
         renorm = x < jnp.uint32(RANS_L)
         chunk = jax.lax.dynamic_slice(words_padded, (ptr,), (s_streams,))
-        routed = butterfly_expand(chunk.astype(jnp.uint32), renorm)
+        routed = butterfly_expand(chunk, renorm)  # uint16 routing
         x = jnp.where(renorm, (x << 16) | routed, x)
         ptr = ptr + jnp.sum(renorm.astype(jnp.int32))
         return (x, ptr), sym.astype(jnp.uint8)
@@ -434,21 +439,36 @@ def jax_decode(words_padded: jnp.ndarray, start: jnp.ndarray,
 def jax_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
                        cums_g: jnp.ndarray):
     """syms (S, L) uint8 with lanes grouped as described above;
-    freqs_g/cums_g (G, 256).  Same output contract as jax_encode."""
-    from vcf_tpu.entropy.interleaved import lookup_tables256
+    freqs_g/cums_g (G, 256).  Same output contract as jax_encode.
 
+    The per-symbol (freq, cum) fetch happens INSIDE the scan with
+    nibble one-hots — the high-nibble one-hot pulls the symbol's
+    16-entry table row with one (G, S/G, 16) @ (G, 16, 32) MXU matmul,
+    the low-nibble one-hot selects within it — instead of a separate
+    whole-plane lookup pass (which materialized (S, L, 2) int32 grids:
+    measured 66 ms of a 111 ms encode at 50M symbols on the v5e).
+    Table values < 2^15, exact in f32."""
     s_streams, l = syms.shape
     g = freqs_g.shape[0]
-    tabs = jnp.stack([freqs_g.astype(jnp.int32),
-                      cums_g.astype(jnp.int32)], axis=2)      # (G, 256, 2)
-    fc = jax.vmap(lookup_tables256)(
-        syms.reshape(g, s_streams // g, l), tabs)             # (G, S/G, L, 2)
-    fc = fc.reshape(s_streams, l, 2)
-    f_arr = fc[..., 0].astype(jnp.uint32)
-    c_arr = fc[..., 1].astype(jnp.uint32)
+    sg = s_streams // g
+    # T[g, hi] = [freqs[16*hi : 16*hi+16] | cums[16*hi : 16*hi+16]]
+    t_tab = jnp.concatenate(
+        [freqs_g.astype(jnp.float32).reshape(g, 16, 16),
+         cums_g.astype(jnp.float32).reshape(g, 16, 16)], axis=2)
+    nib = jnp.arange(16, dtype=jnp.int32)
 
-    def step(x, inp):
-        f, cum = inp
+    def step(x, sym):
+        s32 = sym.astype(jnp.int32).reshape(g, sg)
+        oh_hi = (s32[:, :, None] >> 4 == nib[None, None, :]
+                 ).astype(jnp.float32)
+        fetched = jnp.einsum("gsj,gjk->gsk", oh_hi, t_tab,
+                             precision=jax.lax.Precision.HIGHEST)
+        oh_lo = ((s32[:, :, None] & 15) == nib[None, None, :]
+                 ).astype(jnp.float32)
+        f = jnp.sum(oh_lo * fetched[:, :, :16], axis=2
+                    ).reshape(s_streams).astype(jnp.uint32)
+        cum = jnp.sum(oh_lo * fetched[:, :, 16:], axis=2
+                      ).reshape(s_streams).astype(jnp.uint32)
         emit = (x >> _SHIFT_EMIT) >= f
         low16 = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x = jnp.where(emit, x >> 16, x)
@@ -456,8 +476,7 @@ def jax_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
         return x, (low16, emit)
 
     x0 = jnp.full((s_streams,), RANS_L, jnp.uint32)
-    x, (lows, emits) = jax.lax.scan(
-        step, x0, (f_arr.T[::-1], c_arr.T[::-1]))
+    x, (lows, emits) = jax.lax.scan(step, x0, syms.T[::-1])
     words, n_words = _compact_words(lows, emits)      # (t asc, s asc) order
     return words, n_words, x
 
@@ -492,7 +511,7 @@ def jax_decode_grouped(words_padded: jnp.ndarray, start: jnp.ndarray,
         x = f * (x >> K_PROB) + slot - cum
         renorm = x < jnp.uint32(RANS_L)
         chunk = jax.lax.dynamic_slice(words_padded, (ptr,), (s_streams,))
-        routed = butterfly_expand(chunk.astype(jnp.uint32), renorm)
+        routed = butterfly_expand(chunk, renorm)  # uint16 routing
         x = jnp.where(renorm, (x << 16) | routed, x)
         ptr = ptr + jnp.sum(renorm.astype(jnp.int32))
         return (x, ptr), sym.astype(jnp.uint8)
@@ -527,6 +546,32 @@ def subband_unlanes(syms: jnp.ndarray, b: int, shape) -> jnp.ndarray:
     sb = syms.reshape(g, sg, l).transpose(0, 2, 1).reshape(g, -1)
     sb = sb.reshape(b, b, n, h // b, w // b, c)
     return sb.transpose(2, 0, 3, 1, 4, 5).reshape(n, h, w, c)
+
+
+def block_lanes(planes: jnp.ndarray, b: int, s_streams: int) -> jnp.ndarray:
+    """(N, H, W, C) planes in BLOCK layout (no subband reorder) -> the
+    SAME (S, L) lane matrix subband_lanes produces from subband-layout
+    planes: the subband permutation is fused into the laning transpose,
+    so the to_subbands pass (one full materialization each way) never
+    runs.  block_lanes(x) == subband_lanes(to_subbands(x))."""
+    n, h, w, c = planes.shape
+    g = b * b
+    sg = s_streams // g
+    blk = planes.reshape(n, h // b, b, w // b, b, c)
+    sb = blk.transpose(2, 4, 0, 1, 3, 5).reshape(g, -1)     # (G, n_g)
+    l = sb.shape[1] // sg
+    return sb.reshape(g, l, sg).transpose(0, 2, 1).reshape(g * sg, l)
+
+
+def block_unlanes(syms: jnp.ndarray, b: int, shape) -> jnp.ndarray:
+    """Inverse of block_lanes: (S, L) -> (N, H, W, C) block layout."""
+    n, h, w, c = shape
+    g = b * b
+    s_streams, l = syms.shape
+    sg = s_streams // g
+    sb = syms.reshape(g, sg, l).transpose(0, 2, 1).reshape(g, -1)
+    blk = sb.reshape(b, b, n, h // b, w // b, c)
+    return blk.transpose(2, 3, 0, 4, 1, 5).reshape(n, h, w, c)
 
 
 def subband_group_freqs(planes0: np.ndarray, b: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -746,7 +791,7 @@ def jax_decode_hier(words_padded: jnp.ndarray, start: jnp.ndarray,
         x = f * (x >> K_PROB) + slot - cum
         renorm = x < jnp.uint32(RANS_L)
         chunk = jax.lax.dynamic_slice(words_padded, (ptr,), (s_streams,))
-        routed = butterfly_expand(chunk.astype(jnp.uint32), renorm)
+        routed = butterfly_expand(chunk, renorm)  # uint16 routing
         x = jnp.where(renorm, (x << 16) | routed, x)
         ptr = ptr + jnp.sum(renorm.astype(jnp.int32))
         return x, ptr, sym.astype(jnp.uint8)

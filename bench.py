@@ -198,12 +198,15 @@ def main():
              "bpp": round(bpp, 4)}
 
     # ---- grouped device codec: one model per DCT subband, hier decode ----
+    unroll = next(u for u in (5, 3, 2, 1) if l_steps % u == 0)
+
     @jax.jit
     def encode_grouped_reps(reps, fd):
         def body(i, acc):
             planes = enc_tb(jnp.roll(fd, i, axis=0))
             lanes = rans_mod.block_lanes(planes, b, s_streams)
-            _, nw_, st = rans_mod.jax_encode_grouped(lanes, fg_j, cg_j)
+            _, nw_, st = rans_mod.jax_encode_grouped(lanes, fg_j, cg_j,
+                                                     unroll=unroll)
             return acc + nw_ + st[0].astype(jnp.int32)
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
@@ -211,9 +214,7 @@ def main():
     def encode_grouped(fd):
         planes = enc_tb(fd)
         lanes = rans_mod.block_lanes(planes, b, s_streams)
-        return rans_mod.jax_encode_grouped(lanes, fg_j, cg_j)
-
-    unroll = next(u for u in (5, 3, 2, 1) if l_steps % u == 0)
+        return rans_mod.jax_encode_grouped(lanes, fg_j, cg_j, unroll=unroll)
 
     @jax.jit
     def decode_grouped_reps(reps, wp, st):

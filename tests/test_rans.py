@@ -28,6 +28,32 @@ class TestButterfly:
         expect[np.nonzero(flags)[0]] = chunk[:c]
         np.testing.assert_array_equal(out2, expect)
 
+    def test_expand_exhaustive_small(self):
+        """Every flag pattern at s=8 and s=11 (radix-4 routing covers a
+        partial last digit at non-power-of-4 sizes)."""
+        for s in (8, 11):
+            vals = np.arange(1, s + 1, dtype=np.uint16)
+            vj = jnp.asarray(vals)
+            for bits in range(1 << s):
+                flags = np.array(
+                    [(bits >> i) & 1 for i in range(s)], dtype=bool)
+                out = np.asarray(rans.butterfly_expand(vj, jnp.asarray(flags)))
+                expect = np.zeros(s, np.uint16)
+                expect[np.nonzero(flags)[0]] = vals[: int(flags.sum())]
+                np.testing.assert_array_equal(out, expect)
+
+    @pytest.mark.parametrize("s", [64, 300, 1024])
+    def test_compact4_matches_radix2(self, s):
+        rng = np.random.default_rng(s)
+        for _ in range(3):
+            flags = rng.random(s) < rng.random()
+            vals = rng.integers(0, 60000, s).astype(np.int32)
+            a = np.asarray(rans._compact4(jnp.asarray(vals), jnp.asarray(flags)))
+            b = np.asarray(
+                rans.butterfly_compact(jnp.asarray(vals), jnp.asarray(flags)))
+            c = int(flags.sum())
+            np.testing.assert_array_equal(a[:c], b[:c])
+
 
 class TestQuantizeFreqs:
     def test_sums_to_pow2(self):
@@ -285,11 +311,13 @@ class TestGroupedRANS:
             for f in freqs_g])
         return syms, freqs_g.astype(np.uint32), cums_g
 
-    def test_jax_matches_np_reference(self):
+    @pytest.mark.parametrize("unroll", [1, 2, 3])
+    def test_jax_matches_np_reference(self, unroll):
         syms, fg, cg = self._make(g=4, sg=8, l=24)
         w_np, st_np = rans.np_encode_grouped(syms, fg)
         w_j, nw, st_j = rans.jax_encode_grouped(
-            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg))
+            jnp.asarray(syms), jnp.asarray(fg), jnp.asarray(cg),
+            unroll=unroll)
         nw = int(nw)
         np.testing.assert_array_equal(np.asarray(w_j[:nw]), w_np)
         np.testing.assert_array_equal(np.asarray(st_j), st_np)

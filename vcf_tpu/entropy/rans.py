@@ -196,22 +196,61 @@ def _shift_right(arr, step, fill=0):
     return jnp.concatenate([pad, arr[:-step]], axis=0)
 
 
+def _compact4(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+    """Radix-4 monotone left-compaction (same output as
+    butterfly_compact): base-4 shift digits LSB-first, ceil(log4(S))
+    stages of 3-way shift+select.  Half the sequential stages of the
+    radix-2 network — a latency win for the small per-scan-step arrays
+    in the decode loop (each stage is a fused elementwise kernel; stage
+    count, not element count, is what the v5e pays for at S<=64K)."""
+    s = flags.shape[0]
+    ranks = jnp.cumsum(flags.astype(jnp.int32)) - flags.astype(jnp.int32)
+    idx = jnp.arange(s, dtype=jnp.int32)
+    sdt = jnp.uint16 if s <= (1 << 16) else jnp.int32
+    shift = jnp.where(flags, idx - ranks, 0).astype(sdt)
+    val = vals
+    active = flags
+    n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
+    for dig in range((n_stages + 1) // 2):
+        step = 1 << (2 * dig)
+        d = (shift >> sdt(2 * dig)) & sdt(3)
+        val_new = val
+        shift_new = shift
+        act_new = active & (d == 0)
+        for j in (1, 2, 3):
+            off = j * step
+            if off >= s:
+                continue
+            move_j = active & (d == j)
+            val_in = jnp.concatenate([val[off:], val[:off]], axis=0)
+            move_in = jnp.concatenate(
+                [move_j[off:], jnp.zeros(off, bool)], axis=0)
+            shift_in = jnp.concatenate([shift[off:], shift[:off]], axis=0)
+            val_new = jnp.where(move_in, val_in, val_new)
+            shift_new = jnp.where(move_in, shift_in - sdt(off), shift_new)
+            act_new = act_new | move_in
+        val, shift, active = val_new, shift_new, act_new
+    return val
+
+
 def butterfly_expand(chunk: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
     """out[i] = chunk[rank_i] where flagged (rank = exclusive prefix
     count of flags); zeros elsewhere.
 
     Monotone expansion: chunk element j must move right from position j
     to the j-th flagged index.  Destinations are strictly increasing, so
-    routing the shift bits MSB-first through log2(S) stages of
-    shift+select is collision-free (verified exhaustively in
-    tests/test_rans.py).  The destination indices themselves come from
-    compacting `arange` over the flags — also gather-free."""
+    routing the shift digits MSB-first through the network is
+    collision-free (verified exhaustively in tests/test_rans.py).  The
+    destination indices themselves come from compacting `arange` over
+    the flags — also gather-free.  Both halves route RADIX-4 (base-4
+    digits, 3-way shift+select): half the sequential stages of radix-2,
+    which is what the per-decode-step latency pays for."""
     s = flags.shape[0]
     c = jnp.sum(flags.astype(jnp.int32))
     idx = jnp.arange(s, dtype=jnp.int32)
     active = idx < c
     # position of the j-th flag, packed to the front
-    sel = butterfly_compact(idx, flags)
+    sel = _compact4(idx, flags)
     # shifts are in [0, s): uint16 when it fits — the shift array is a
     # third of per-stage traffic and the routing runs once per decode
     # scan step (measured win on the v5e)
@@ -219,16 +258,24 @@ def butterfly_expand(chunk: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
     shift = jnp.where(active, sel - idx, 0).astype(sdt)
     val = chunk  # keep the caller's dtype (uint16 words route as-is)
     n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
-    for kbit in range(n_stages - 1, -1, -1):
-        step = 1 << kbit
-        move = active & ((shift & sdt(step)) != 0)
-        val_in = _shift_right(val, step)
-        act_in = _shift_right(move, step, fill=False)
-        shift_in = _shift_right(shift, step)
-        stay = active & ~move
-        val = jnp.where(act_in, val_in, val)
-        shift = jnp.where(act_in, shift_in - sdt(step), shift)
-        active = act_in | stay
+    for dig in range((n_stages + 1) // 2 - 1, -1, -1):
+        step = 1 << (2 * dig)
+        d = (shift >> sdt(2 * dig)) & sdt(3)
+        val_new = val
+        shift_new = shift
+        act_new = active & (d == 0)
+        for j in (1, 2, 3):
+            off = j * step
+            if off >= s:
+                continue
+            move_j = active & (d == j)
+            val_in = _shift_right(val, off)
+            act_in = _shift_right(move_j, off, fill=False)
+            shift_in = _shift_right(shift, off)
+            val_new = jnp.where(act_in, val_in, val_new)
+            shift_new = jnp.where(act_in, shift_in - sdt(off), shift_new)
+            act_new = act_new | act_in
+        val, shift, active = val_new, shift_new, act_new
     return jnp.where(flags, val, jnp.zeros((), val.dtype))
 
 
@@ -435,9 +482,9 @@ def jax_decode(words_padded: jnp.ndarray, start: jnp.ndarray,
 # at the bench's default quantization).
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("unroll",))
 def jax_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
-                       cums_g: jnp.ndarray):
+                       cums_g: jnp.ndarray, unroll: int = 1):
     """syms (S, L) uint8 with lanes grouped as described above;
     freqs_g/cums_g (G, 256).  Same output contract as jax_encode.
 
@@ -447,36 +494,60 @@ def jax_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     the low-nibble one-hot selects within it — instead of a separate
     whole-plane lookup pass (which materialized (S, L, 2) int32 grids:
     measured 66 ms of a 111 ms encode at 50M symbols on the v5e).
-    Table values < 2^15, exact in f32."""
+    Table values < 2^15, exact in f32.
+
+    `unroll`: symbols encoded per scan step (l must divide).  The table
+    fetch for all `unroll` symbols is ONE batched (G, u*S/G, 16) MXU
+    matmul — only the ~6-op state update chains per symbol — which
+    amortizes the latency-bound small-matmul fetch the same way the
+    decoder's hierarchical unroll does."""
     s_streams, l = syms.shape
     g = freqs_g.shape[0]
     sg = s_streams // g
+    u = unroll
     # T[g, hi] = [freqs[16*hi : 16*hi+16] | cums[16*hi : 16*hi+16]]
     t_tab = jnp.concatenate(
         [freqs_g.astype(jnp.float32).reshape(g, 16, 16),
          cums_g.astype(jnp.float32).reshape(g, 16, 16)], axis=2)
     nib = jnp.arange(16, dtype=jnp.int32)
 
-    def step(x, sym):
-        s32 = sym.astype(jnp.int32).reshape(g, sg)
+    def fetch(s32):
+        """(g, m) int32 symbols -> (f, cum) (g, m) uint32 each."""
         oh_hi = (s32[:, :, None] >> 4 == nib[None, None, :]
                  ).astype(jnp.float32)
         fetched = jnp.einsum("gsj,gjk->gsk", oh_hi, t_tab,
                              precision=jax.lax.Precision.HIGHEST)
         oh_lo = ((s32[:, :, None] & 15) == nib[None, None, :]
                  ).astype(jnp.float32)
-        f = jnp.sum(oh_lo * fetched[:, :, :16], axis=2
-                    ).reshape(s_streams).astype(jnp.uint32)
-        cum = jnp.sum(oh_lo * fetched[:, :, 16:], axis=2
-                      ).reshape(s_streams).astype(jnp.uint32)
+        f = jnp.sum(oh_lo * fetched[:, :, :16], axis=2).astype(jnp.uint32)
+        cum = jnp.sum(oh_lo * fetched[:, :, 16:], axis=2).astype(jnp.uint32)
+        return f, cum
+
+    def advance(x, f, cum):
         emit = (x >> _SHIFT_EMIT) >= f
         low16 = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x = jnp.where(emit, x >> 16, x)
         x = ((x // f) << K_PROB) + (x % f) + cum
-        return x, (low16, emit)
+        return x, low16, emit
+
+    def step(x, sym_u):                           # sym_u (u, S)
+        s32 = (sym_u.astype(jnp.int32)
+               .reshape(u, g, sg).transpose(1, 0, 2).reshape(g, u * sg))
+        f_b, c_b = fetch(s32)                     # (g, u*sg) each
+        f_u = f_b.reshape(g, u, sg).transpose(1, 0, 2).reshape(u, s_streams)
+        c_u = c_b.reshape(g, u, sg).transpose(1, 0, 2).reshape(u, s_streams)
+        lows_u, emits_u = [], []
+        for j in range(u):
+            x, low16, emit = advance(x, f_u[j], c_u[j])
+            lows_u.append(low16)
+            emits_u.append(emit)
+        return x, (jnp.stack(lows_u), jnp.stack(emits_u))
 
     x0 = jnp.full((s_streams,), RANS_L, jnp.uint32)
-    x, (lows, emits) = jax.lax.scan(step, x0, syms.T[::-1])
+    x, (lows, emits) = jax.lax.scan(
+        step, x0, syms.T[::-1].reshape(l // u, u, s_streams))
+    lows = lows.reshape(l, s_streams)
+    emits = emits.reshape(l, s_streams)
     words, n_words = _compact_words(lows, emits)      # (t asc, s asc) order
     return words, n_words, x
 

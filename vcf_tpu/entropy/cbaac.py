@@ -1,10 +1,12 @@
 """Context-Based Adaptive Arithmetic Codec (CBAAC).
 
 Capability parity with src/CBAAC.py: order-N adaptive model per byte
-context, frequency increments with rescale when the total reaches 16384
-(src/CBAAC.py:34-38), dict-of-models context manager (:49-69), and the
-array shape carried as uint32 dims (:85-88 — we keep it in a sidecar
-segment consistent with the rest of this framework).
+context (window seeded with the PAD symbol, shared ctx_init/ctx_mask
+with CBAHC — src/CBAHC.py:123-153 semantics), frequency increments with
+rescale when the total reaches 16384 (src/CBAAC.py:34-38),
+dict-of-models context manager (:49-69), and the array shape carried as
+uint32 dims (:85-88 — we keep it in a sidecar segment consistent with
+the rest of this framework).
 
 The arithmetic coder itself is a carry-less 32-bit range coder in the
 native C++ runtime (vcf_rc_encode/decode) with a pure-Python mirror for
@@ -22,6 +24,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from vcf_tpu.entropy.base import EntropyCodec
+from vcf_tpu.entropy.cbahc import ctx_init, ctx_mask
 from vcf_tpu import native
 
 _RC_TOP = 1 << 24
@@ -53,10 +56,10 @@ class _Model:
 
 def _py_rc_encode(data: np.ndarray, order: int) -> bytes:
     models: Dict[int, _Model] = {}
-    mask = (1 << (8 * order)) - 1 if order else 0
+    mask = ctx_mask(order)
     out = bytearray()
     low, rng = 0, _M32
-    ctx = 0
+    ctx = ctx_init(order)
     for s in data.tolist():
         m = models.get(ctx)
         if m is None:
@@ -78,7 +81,7 @@ def _py_rc_encode(data: np.ndarray, order: int) -> bytes:
             rng = (rng << 8) & _M32
         m.update(s)
         if order:
-            ctx = ((ctx << 8) | s) & mask
+            ctx = ((ctx << 9) | s) & mask
     for _ in range(4):
         out.append((low >> 24) & 0xFF)
         low = (low << 8) & _M32
@@ -87,13 +90,13 @@ def _py_rc_encode(data: np.ndarray, order: int) -> bytes:
 
 def _py_rc_decode(payload: bytes, n_symbols: int, order: int) -> np.ndarray:
     models: Dict[int, _Model] = {}
-    mask = (1 << (8 * order)) - 1 if order else 0
+    mask = ctx_mask(order)
     src = payload + b"\x00" * 8
     pos = 4
     code = int.from_bytes(src[:4], "big")
     low, rng = 0, _M32
     out = np.empty(n_symbols, dtype=np.uint8)
-    ctx = 0
+    ctx = ctx_init(order)
     for i in range(n_symbols):
         m = models.get(ctx)
         if m is None:
@@ -120,7 +123,7 @@ def _py_rc_decode(payload: bytes, n_symbols: int, order: int) -> np.ndarray:
         m.update(s)
         out[i] = s
         if order:
-            ctx = ((ctx << 8) | s) & mask
+            ctx = ((ctx << 9) | s) & mask
     return out
 
 

@@ -39,6 +39,68 @@ MAX_CODE_LEN_U8 = 14   # guarantees single-table decode
 MAX_CODE_LEN_U16 = 30
 CHUNK_SYMS = 8 << 20   # symbols per independent stream chunk
 
+# Zero-run extension: 32 extra symbols, RUN_j = a run of 2^j copies of
+# the dominant symbol (j up to 31 so a fully-flat 2^31-symbol plane is
+# one run).  An order-0 Huffman code cannot rate below 1 bit/symbol, so
+# ~90%-zero quantized planes floor at ~1 bpp (VERDICT r2 weak item 7);
+# coding runs by their binary decomposition (<= popcount(run) symbols
+# per run) removes the floor while staying a plain static-Huffman
+# stream.  Reference role: src/Huffman.py:27-56's entropy stage at sane
+# rates on sparse index planes.
+N_RUN_SYMS = 32
+RLE_ALPHABET = 256 + N_RUN_SYMS
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.uint32)
+    c = np.zeros_like(v)
+    while True:
+        c += v & 1
+        v >>= 1
+        if not v.any():
+            return c.astype(np.int64)
+
+
+def rle_encode(flat: np.ndarray, z: int) -> np.ndarray:
+    """uint8 stream -> int32 extended-alphabet stream: literals (!= z)
+    kept as-is, each maximal run of `z` emitted as RUN_j symbols for the
+    set bits of its length, LSB-first.  Fully vectorized."""
+    n = flat.size
+    lit_idx = np.nonzero(flat != z)[0]
+    l = lit_idx.size
+    prev = np.concatenate(([-1], lit_idx, [n]))
+    gaps = np.diff(prev) - 1          # (l+1,): z-run before each literal + tail
+    run_counts = _popcount(gaps)      # run symbols emitted per gap
+    sizes = run_counts + 1
+    sizes[-1] -= 1                    # no literal after the tail gap
+    starts = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    out = np.empty(int(sizes.sum()), np.int32)
+    if l:
+        out[starts[:l] + run_counts[:l]] = flat[lit_idx]
+    for j in range(N_RUN_SYMS):
+        has = ((gaps >> j) & 1).astype(bool)
+        if not has.any():
+            continue
+        rank = _popcount(gaps & ((1 << j) - 1))
+        out[starts[has] + rank[has]] = 256 + j
+    return out
+
+
+def rle_decode(ext: np.ndarray, z: int, n: int) -> np.ndarray:
+    """Inverse of rle_encode.  Raises on streams whose run/literal
+    lengths do not reconstruct exactly n symbols (corruption guard —
+    the reference swallows corruption, SURVEY §7.3 quirk NOT kept)."""
+    is_run = ext >= 256
+    shifts = np.where(is_run, ext - 256, 0).astype(np.int64)
+    lens = np.where(is_run, np.int64(1) << shifts, np.int64(1))
+    starts = np.cumsum(lens) - lens
+    if (int(starts[-1] + lens[-1]) if ext.size else 0) != n:
+        raise ValueError("corrupt RLE-Huffman stream: length mismatch")
+    out = np.full(n, z, np.uint8)
+    lit = ~is_run
+    out[starts[lit]] = ext[lit].astype(np.uint8)
+    return out
+
 
 def code_lengths_from_counts(counts: np.ndarray, limit: int = MAX_CODE_LEN_U16) -> np.ndarray:
     """Huffman code lengths for each symbol (0 for unused symbols).
@@ -186,6 +248,30 @@ class HuffmanCodec(EntropyCodec):
         limit = MAX_CODE_LEN_U8 if is_u8 else MAX_CODE_LEN_U16
         lengths = code_lengths_from_counts(counts, limit)
         if is_u8:
+            # zero-run extension: try coding dominant-symbol runs by
+            # their binary decomposition; pick whichever rates smaller
+            z = int(np.argmax(counts))
+            if flat.size and counts[z] > flat.size // 2:
+                ext = rle_encode(flat, z)
+                ext_counts = np.bincount(ext, minlength=RLE_ALPHABET)
+                ext_lengths = code_lengths_from_counts(
+                    ext_counts, MAX_CODE_LEN_U16)
+                plain_bits = int(counts @ lengths.astype(np.int64))
+                rle_bits = int(ext_counts @ ext_lengths.astype(np.int64))
+                if rle_bits + 8 * N_RUN_SYMS < plain_bits:
+                    ext16 = ext.astype(np.uint16)
+                    codes = canonical_codes(ext_lengths)
+                    if native.available():
+                        payload = native.huffman_encode(
+                            ext16, codes, ext_lengths)
+                    else:
+                        payload = pack_codes(ext16, codes, ext_lengths)
+                    header = struct.pack(
+                        f"<BB{arr.ndim}IBQ", 2, arr.ndim, *arr.shape,
+                        z, ext.size)
+                    side = {"huffman_tree":
+                            header + zlib.compress(ext_lengths.tobytes(), 9)}
+                    return payload, side
             if native.available():
                 payload = native.huffman_encode8(flat, lengths, CHUNK_SYMS)
             else:
@@ -206,8 +292,18 @@ class HuffmanCodec(EntropyCodec):
         blob = side["huffman_tree"]
         dtype_code, ndim = struct.unpack_from("<BB", blob, 0)
         shape = struct.unpack_from(f"<{ndim}I", blob, 2)
-        lengths = np.frombuffer(zlib.decompress(blob[2 + 4 * ndim :]), dtype=np.uint8)
         n_symbols = int(np.prod(shape))
+        if dtype_code == 2:
+            z, n_ext = struct.unpack_from("<BQ", blob, 2 + 4 * ndim)
+            lengths = np.frombuffer(
+                zlib.decompress(blob[2 + 4 * ndim + 9 :]), dtype=np.uint8)
+            if native.available():
+                ext = native.huffman_decode(payload, n_ext, lengths)
+            else:
+                ext = unpack_codes(payload, n_ext, lengths)
+            out = rle_decode(ext.astype(np.int32), z, n_symbols)
+            return out.reshape(shape)
+        lengths = np.frombuffer(zlib.decompress(blob[2 + 4 * ndim :]), dtype=np.uint8)
         if dtype_code == 0:
             if native.available():
                 out = native.huffman_decode8(payload, n_symbols, lengths)

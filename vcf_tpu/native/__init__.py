@@ -89,6 +89,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vcf_cbahc_decode.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8p,
         ]
+        lib.vcf_png_unfilter.restype = ctypes.c_int64
+        lib.vcf_png_unfilter.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -232,4 +236,20 @@ def cbahc_decode(payload: bytes, n_symbols: int, order: int) -> np.ndarray:
     n = lib.vcf_cbahc_decode(_u8p(src), src.size, n_symbols, order, _u8p(out))
     if n != n_symbols:
         raise RuntimeError("native cbahc decode failed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PNG scanline unfiltering
+# ---------------------------------------------------------------------------
+
+def png_unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-scanline filters 0-4 (sequential hot loop)."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty((h, stride), dtype=np.uint8)
+    n = lib.vcf_png_unfilter(_u8p(src), h, stride, bpp, _u8p(out))
+    if n != h:
+        raise RuntimeError("native png unfilter failed")
     return out

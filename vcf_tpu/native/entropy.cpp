@@ -271,9 +271,11 @@ struct ContextTable {
   std::vector<M> small;
 
   explicit ContextTable(int order) {
-    size_t n = 1;
-    for (int i = 0; i < order; ++i) n *= 256;
-    if (n <= 256) {
+    // 9 bits per context slot: the PAD symbol (256) is representable,
+    // so initial-window contexts never collide with real byte contexts
+    // (src/CBAHC.py:123-153).
+    size_t n = (size_t)1 << (9 * order);
+    if (n <= 512) {
       small.resize(n);
       slots.resize(n);
       for (size_t i = 0; i < n; ++i) slots[i] = &small[i];
@@ -293,9 +295,14 @@ struct ContextTable {
 };
 
 inline uint32_t ctx_mask(int order) {
-  uint32_t m = 1;
-  for (int i = 0; i < order; ++i) m *= 256;
-  return m - 1;
+  return order ? (((uint32_t)1 << (9 * order)) - 1) : 0;
+}
+
+// Initial context: every slot holds PAD = 256 (src/CBAHC.py:123-153).
+inline uint32_t ctx_init(int order) {
+  uint32_t c = 0;
+  for (int i = 0; i < order; ++i) c = (c << 9) | 256u;
+  return c;
 }
 
 struct RangeEncoder {
@@ -367,7 +374,7 @@ int64_t vcf_rc_encode(const uint8_t* syms, int64_t n, int order, uint8_t* out,
   if (order < 0 || order > 2) return -1;
   ContextTable<Model> ctxs(order);
   RangeEncoder enc(out, cap);
-  uint32_t ctx = 0, mask = ctx_mask(order);
+  uint32_t ctx = ctx_init(order), mask = ctx_mask(order);
   for (int64_t i = 0; i < n; ++i) {
     Model& m = ctxs.get(ctx);
     uint32_t lo, hi;
@@ -375,7 +382,7 @@ int64_t vcf_rc_encode(const uint8_t* syms, int64_t n, int order, uint8_t* out,
     enc.encode(lo, hi, m.total);
     if (enc.overflow) return -1;
     m.update(syms[i]);
-    if (order) ctx = ((ctx << 8) | syms[i]) & mask;
+    if (order) ctx = ((ctx << 9) | syms[i]) & mask;
   }
   return enc.finish();
 }
@@ -385,7 +392,7 @@ int64_t vcf_rc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
   if (order < 0 || order > 2) return -1;
   ContextTable<Model> ctxs(order);
   RangeDecoder dec(in, n_bytes);
-  uint32_t ctx = 0, mask = ctx_mask(order);
+  uint32_t ctx = ctx_init(order), mask = ctx_mask(order);
   for (int64_t i = 0; i < n_syms; ++i) {
     Model& m = ctxs.get(ctx);
     uint32_t scaled = dec.decode_freq(m.total);
@@ -394,7 +401,7 @@ int64_t vcf_rc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
     dec.decode_update(lo, hi);
     m.update(s);
     out[i] = (uint8_t)s;
-    if (order) ctx = ((ctx << 8) | s) & mask;
+    if (order) ctx = ((ctx << 9) | s) & mask;
   }
   return n_syms;
 }
@@ -459,7 +466,7 @@ int64_t vcf_cbahc_encode(const uint8_t* syms, int64_t n, int order,
   if (order < 0 || order > 2) return -1;
   ContextTable<CountModel> ctxs(order);
   BitWriter bw(out, cap);
-  uint32_t ctx = 0, mask = ctx_mask(order);
+  uint32_t ctx = ctx_init(order), mask = ctx_mask(order);
   uint8_t lengths[256];
   std::vector<uint64_t> codes;
   for (int64_t i = 0; i < n; ++i) {
@@ -470,7 +477,7 @@ int64_t vcf_cbahc_encode(const uint8_t* syms, int64_t n, int order,
     bw.put(codes[s], lengths[s]);
     if (bw.overflow) return -1;
     m.counts[s] += 1;
-    if (order) ctx = ((ctx << 8) | s) & mask;
+    if (order) ctx = ((ctx << 9) | s) & mask;
   }
   return bw.finish();
 }
@@ -480,7 +487,7 @@ int64_t vcf_cbahc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
   if (order < 0 || order > 2) return -1;
   ContextTable<CountModel> ctxs(order);
   BitReader br(in, n_bytes);
-  uint32_t ctx = 0, mask = ctx_mask(order);
+  uint32_t ctx = ctx_init(order), mask = ctx_mask(order);
   uint8_t lengths[256];
   CanonicalDecoder cd;
   for (int64_t i = 0; i < n_syms; ++i) {
@@ -491,12 +498,70 @@ int64_t vcf_cbahc_decode(const uint8_t* in, int64_t n_bytes, int64_t n_syms,
     if (s < 0) return -1;
     out[i] = (uint8_t)s;
     m.counts[s] += 1;
-    if (order) ctx = ((ctx << 8) | s) & mask;
+    if (order) ctx = ((ctx << 9) | s) & mask;
   }
   return n_syms;
 }
 
-int vcf_native_version() { return 1; }
+
+// ---------------------------------------------------------------------------
+// PNG scanline unfiltering (entropy/png.py decode hot loop): each byte
+// predicts from RECONSTRUCTED neighbors, so decode is inherently
+// sequential per scanline -- the right home is this native runtime
+// (reference role: the libpng/zlib C inside iio.imread, src/PNG.py:37-44).
+// data: h * (stride + 1) filtered bytes (leading filter-type byte per
+// row); out: h * stride reconstructed bytes.  Returns h or -1.
+// ---------------------------------------------------------------------------
+
+int64_t vcf_png_unfilter(const uint8_t* data, int64_t h, int64_t stride,
+                         int bpp, uint8_t* out) {
+  std::vector<uint8_t> zero((size_t)stride, 0);
+  const uint8_t* prev = zero.data();
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = data + y * (stride + 1);
+    int ft = row[0];
+    const uint8_t* cur = row + 1;
+    uint8_t* rec = out + y * stride;
+    switch (ft) {
+      case 0:
+        std::memcpy(rec, cur, (size_t)stride);
+        break;
+      case 1:  // Sub
+        for (int64_t x = 0; x < stride; ++x)
+          rec[x] = (uint8_t)(cur[x] + (x >= bpp ? rec[x - bpp] : 0));
+        break;
+      case 2:  // Up
+        for (int64_t x = 0; x < stride; ++x)
+          rec[x] = (uint8_t)(cur[x] + prev[x]);
+        break;
+      case 3:  // Average
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? rec[x - bpp] : 0;
+          rec[x] = (uint8_t)(cur[x] + ((a + prev[x]) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? rec[x - bpp] : 0;
+          int b = prev[x];
+          int c = x >= bpp ? prev[x - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          rec[x] = (uint8_t)(cur[x] + pred);
+        }
+        break;
+      default:
+        return -1;
+    }
+    prev = rec;
+  }
+  return h;
+}
+
+int vcf_native_version() { return 2; }
 
 }  // extern "C"
 

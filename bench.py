@@ -214,43 +214,77 @@ def main():
     def encode_grouped(fd):
         planes = enc_tb(fd)
         lanes = rans_mod.block_lanes(planes, b, s_streams)
-        return rans_mod.jax_encode_grouped(lanes, fg_j, cg_j, unroll=unroll)
+        return rans_mod.jax_encode_grouped(lanes, fg_j, cg_j, unroll=unroll,
+                                           with_counts=True)
 
-    @jax.jit
-    def decode_grouped_reps(reps, wp, st):
-        def body(i, acc):
-            st_i = st ^ (i.astype(jnp.uint32) & jnp.uint32(1))
-            lanes = rans_mod.jax_decode_hier(wp, jnp.int32(0), st_i, fg_j,
-                                             cg_j, l_steps, unroll=unroll)
+    # decode: Pallas whole-scan kernel (window pre-extraction INSIDE the
+    # timed body — it is part of the decode cost) when the lane grid
+    # tiles; XLA hierarchical scan otherwise
+    g_groups = b * b
+    sg_lanes = s_streams // g_groups
+    unroll_d = next(u for u in (4, 3, 2, 1) if l_steps % u == 0)
+    use_pallas_dec = (jax.default_backend() == "tpu"
+                      and sg_lanes % 128 == 0)
+
+    def make_grouped_decoder(cap):
+        if use_pallas_dec:
+            from vcf_tpu.ops.pallas import rans_decode as rd
+
+            def dec_lanes(wp, cts, st_i):
+                win = rd.build_windows(wp, cts, cap)
+                return rd.pallas_decode_grouped(
+                    win, st_i, fg_j, cg_j, l_steps, cap,
+                    unroll=unroll_d, sg=sg_lanes)
+        else:
+            def dec_lanes(wp, cts, st_i):
+                return rans_mod.jax_decode_hier(
+                    wp, jnp.int32(0), st_i, fg_j, cg_j, l_steps,
+                    unroll=unroll)
+
+        @jax.jit
+        def decode_grouped(wp, cts, st):
+            lanes = dec_lanes(wp, cts, st)
             planes = rans_mod.block_unlanes(lanes, b, (n_frames, h, w, 3))
-            rec = dec_tb(planes)
-            return acc + rec[0, 0, 0, 0].astype(jnp.int32)
-        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+            return dec_tb(planes)
 
-    @jax.jit
-    def decode_grouped(wp, st):
-        lanes = rans_mod.jax_decode_hier(wp, jnp.int32(0), st, fg_j, cg_j,
-                                         l_steps, unroll=unroll)
-        planes = rans_mod.block_unlanes(lanes, b, (n_frames, h, w, 3))
-        return dec_tb(planes)
+        @jax.jit
+        def decode_grouped_reps(reps, wp, cts, st):
+            def body(i, acc):
+                st_i = st ^ (i.astype(jnp.uint32) & jnp.uint32(1))
+                lanes = dec_lanes(wp, cts, st_i)
+                planes = rans_mod.block_unlanes(
+                    lanes, b, (n_frames, h, w, 3))
+                rec = dec_tb(planes)
+                return acc + rec[0, 0, 0, 0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        return decode_grouped, decode_grouped_reps
 
     grouped = None
     try:
         t_enc_g, _ = timed(encode_grouped_reps, frames_dev)
-        gw, gnw, gst = encode_grouped(frames_dev)
+        gw, gnw, gst, gcounts = encode_grouped(frames_dev)
         gnw_i = int(gnw)
+        gcounts_h = np.asarray(gcounts).astype(np.int32)
+        gcap = sg_lanes * max(1, -(-int(gcounts_h.max()) // sg_lanes))
+        gcap = min(gcap, s_streams)
         gwpad = jax.block_until_ready(jnp.concatenate(
-            [gw[:gnw_i], jnp.zeros((s_streams + 16,), jnp.uint16)]))
-        t_dec_g, _ = timed(decode_grouped_reps, gwpad, gst)
-        rec_g = np.asarray(jax.device_get(decode_grouped(gwpad, gst)))
+            [gw[:gnw_i],
+             jnp.zeros((gcap + s_streams + 16,), jnp.uint16)]))
+        gcts = jnp.asarray(gcounts_h)
+        decode_grouped, decode_grouped_reps = make_grouped_decoder(gcap)
+        t_dec_g, _ = timed(decode_grouped_reps, gwpad, gcts, gst)
+        rec_g = np.asarray(jax.device_get(decode_grouped(gwpad, gcts, gst)))
         err_g = float(np.sqrt(np.mean(
             (rec_g[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
         side_g = 4 * s_streams + len(_z.compress(fg.astype("<u2").tobytes(), 9))
+        side_g += len(_z.compress(gcounts_h.astype("<u4").tobytes(), 9))
         grouped = {
             "encode_s": round(t_enc_g, 4), "decode_s": round(t_dec_g, 4),
             "gbps": round(frames.nbytes / (t_enc_g + t_dec_g) / 1e9, 4),
             "rmse": round(err_g, 3),
             "bpp": round((2 * gnw_i + side_g) * 8 / (n_frames * h * w), 4),
+            "pallas_decode": bool(use_pallas_dec),
         }
     except Exception as e:  # pragma: no cover - perf fallback only
         import sys, traceback

@@ -64,8 +64,8 @@ for reps in (1, 3):
     v = int(timed(jnp.int32(reps)))
     print(f"reps={reps}: {time.time()-t0:.3f}s")
 t0 = time.time(); int(timed(jnp.int32(2))); t2 = time.time() - t0
-t0 = time.time(); int(timed(jnp.int32(6))); t6 = time.time() - t0
-per = (t6 - t2) / 4
+t0 = time.time(); int(timed(jnp.int32(34))); t6 = time.time() - t0
+per = (t6 - t2) / 32
 print(f"pallas decode per-rep: {per*1000:.1f} ms  ({S*L/per/1e9:.2f} GB/s)")
 
 # XLA hier reference timing for the same data
@@ -79,4 +79,17 @@ int(timed_x(jnp.int32(1)))
 t0 = time.time(); int(timed_x(jnp.int32(2))); t2 = time.time() - t0
 t0 = time.time(); int(timed_x(jnp.int32(6))); t6 = time.time() - t0
 perx = (t6 - t2) / 4
+
+# build_windows runtime (part of the pallas decode cost)
+@jax.jit
+def timed_w(reps):
+    def body(i, acc):
+        wn = rd.build_windows(wpad, jnp.roll(counts, i & 1), cap)
+        return acc + wn[0, 0] + i * 0
+    return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+int(timed_w(jnp.int32(1)))
+t0 = time.time(); int(timed_w(jnp.int32(2))); t2 = time.time() - t0
+t0 = time.time(); int(timed_w(jnp.int32(18))); t18 = time.time() - t0
+perw = (t18 - t2) / 16
+print(f"build_windows per-rep: {perw*1000:.2f} ms")
 print(f"XLA hier decode per-rep: {perx*1000:.1f} ms  ({S*L/perx/1e9:.2f} GB/s)")

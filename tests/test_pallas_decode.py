@@ -1,0 +1,74 @@
+"""Pallas whole-scan grouped-rANS decode (ops/pallas/rans_decode.py).
+
+Runs in interpret mode on CPU (conftest forces the CPU backend); the
+kernel must be bit-identical to entropy/rans.py jax_decode_grouped,
+whose streams are pinned against the numpy mirror elsewhere.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vcf_tpu.entropy import rans
+from vcf_tpu.ops.pallas import rans_decode as rd
+
+
+def _stream(G, SG, L, seed=0):
+    rng = np.random.default_rng(seed)
+    S = G * SG
+    syms = (rng.integers(0, 250, size=(S, L))
+            % rng.integers(2, 250, size=(S, 1))).astype(np.uint8)
+    freqs_g = np.stack([
+        rans.quantize_freqs(
+            np.bincount(syms[g * SG:(g + 1) * SG].reshape(-1),
+                        minlength=256), min_all=True)
+        for g in range(G)])
+    cums_g = np.stack([
+        np.concatenate(([0], np.cumsum(f)))[:256].astype(np.uint32)
+        for f in freqs_g])
+    fj = jnp.asarray(freqs_g.astype(np.uint32))
+    cj = jnp.asarray(cums_g)
+    w, nw, st, counts = rans.jax_encode_grouped(
+        jnp.asarray(syms), fj, cj, unroll=4, with_counts=True)
+    return syms, fj, cj, w, int(nw), st, counts
+
+
+class TestPallasDecode:
+    @pytest.mark.parametrize("unroll", [1, 2, 4])
+    def test_bit_exact_vs_xla(self, unroll):
+        G, SG, L = 4, 128, 12
+        syms, fj, cj, w, nw, st, counts = _stream(G, SG, L)
+        counts_h = np.asarray(counts)
+        cap = SG * max(1, -(-int(counts_h.max()) // SG))
+        wpad = jnp.concatenate([w[:nw], jnp.zeros(cap + 16, jnp.uint16)])
+        win = rd.build_windows(wpad, counts, cap)
+        out = rd.pallas_decode_grouped(win, st, fj, cj, L, cap,
+                                       unroll=unroll, sg=SG, interpret=True)
+        assert np.array_equal(np.asarray(out), syms)
+
+    def test_many_groups_chunked_resolve(self):
+        # g > the resolve chunk (16) exercises the chunk loop
+        G, SG, L = 64, 8, 8
+        syms, fj, cj, w, nw, st, counts = _stream(G, SG, L, seed=3)
+        counts_h = np.asarray(counts)
+        cap = SG * max(1, -(-int(counts_h.max()) // SG))
+        cap = min(cap, G * SG)
+        wpad = jnp.concatenate([w[:nw], jnp.zeros(cap + 16, jnp.uint16)])
+        win = rd.build_windows(wpad, counts, cap)
+        out = rd.pallas_decode_grouped(win, st, fj, cj, L, cap,
+                                       unroll=4, sg=SG, interpret=True)
+        assert np.array_equal(np.asarray(out), syms)
+
+    def test_build_windows_rows(self):
+        G, SG, L = 2, 64, 8
+        syms, fj, cj, w, nw, st, counts = _stream(G, SG, L, seed=1)
+        counts_h = np.asarray(counts)
+        cap = SG * max(1, -(-int(counts_h.max()) // SG))
+        wpad = jnp.concatenate([w[:nw], jnp.zeros(cap + 16, jnp.uint16)])
+        win = np.asarray(rd.build_windows(wpad, counts, cap))
+        wh = np.asarray(wpad).astype(np.int32)
+        ptr = 0
+        for t in range(L):
+            assert np.array_equal(win[t], wh[ptr:ptr + cap])
+            ptr += counts_h[t]
+        assert ptr == nw

@@ -924,6 +924,16 @@ def jax_decode_hier(words_padded: jnp.ndarray, start: jnp.ndarray,
     return out.reshape(l, s_streams).T  # (S, l)
 
 
+def _pick_unroll(l: int) -> int:
+    """Largest unroll in {4, 3, 2, 1} dividing l (the Pallas decode
+    packs `unroll` symbols into the bytes of one int32 output lane, so
+    any unroll <= 4 works — not just powers of two)."""
+    for u in (4, 3, 2, 1):
+        if l % u == 0:
+            return u
+    return 1
+
+
 class GroupedRANSCodec(EntropyCodec):
     """Interleaved rANS with one model per DCT subband (``grans``).
 
@@ -996,23 +1006,38 @@ class GroupedRANSCodec(EntropyCodec):
             # per-image tables, trained on device from the lane matrix
             counts = np.asarray(group_histograms(lanes, g))
             freqs_g, cums_g = freqs_from_counts(counts)
-        words, n_words, states = jax_encode_grouped(
-            lanes, jnp.asarray(freqs_g), jnp.asarray(cums_g))
+        words, n_words, states, counts = jax_encode_grouped(
+            lanes, jnp.asarray(freqs_g), jnp.asarray(cums_g),
+            with_counts=True)
         n_words = int(n_words)
         payload = np.asarray(words[:n_words]).tobytes()
-        head = struct.pack(f"<BIIIB{arr.ndim}I", 1, s_streams, l, n_words,
+        # v2: per-decode-step renorm counts ride in the sidecar (zlib,
+        # ~1-4 bytes/step) so the decoder can pre-extract the Pallas
+        # kernel's word windows without a sequential discovery pass
+        counts_z = zlib.compress(
+            np.asarray(counts).astype("<u4").tobytes(), 9)
+        head = struct.pack(f"<BIIIB{arr.ndim}I", 2, s_streams, l, n_words,
                            arr.ndim, *arr.shape)
-        side = head + np.asarray(states).astype("<u4").tobytes()
+        side = head + struct.pack("<I", len(counts_z)) + counts_z
+        side += np.asarray(states).astype("<u4").tobytes()
         side += zlib.compress(freqs_g.astype("<u2").tobytes(), 9)
         return payload, {"grans_model": side}
 
     def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
         blob = side["grans_model"]
-        if blob[0] == 0:
+        version = blob[0]
+        if version == 0:
             return self.dense.decode(payload, {"rans_model": blob[1:]})
         s_streams, l, n_words, ndim = struct.unpack_from("<IIIB", blob, 1)
         shape = struct.unpack_from(f"<{ndim}I", blob, 14)
         off = 14 + 4 * ndim
+        counts = None
+        if version >= 2:
+            (cz_len,) = struct.unpack_from("<I", blob, off)
+            counts = np.frombuffer(
+                zlib.decompress(blob[off + 4: off + 4 + cz_len]), "<u4"
+            ).astype(np.int32)
+            off += 4 + cz_len
         states = np.frombuffer(blob, "<u4", s_streams, off).astype(np.uint32)
         off += 4 * s_streams
         g = self.b * self.b
@@ -1022,13 +1047,35 @@ class GroupedRANSCodec(EntropyCodec):
             np.concatenate(([0], np.cumsum(f)))[:256].astype(np.uint32)
             for f in freqs_g])
         words = np.frombuffer(payload, "<u2", n_words).astype(np.uint16)
-        wpad = np.concatenate([words, np.zeros(s_streams + 16, np.uint16)])
-        lanes = jax_decode_grouped(
-            jnp.asarray(wpad), jnp.int32(0), jnp.asarray(states),
-            jnp.asarray(freqs_g), jnp.asarray(cums_g), l)
+        lanes = self._decode_lanes(words, states, freqs_g, cums_g,
+                                   s_streams, l, counts)
         full = (1,) + tuple(shape) if ndim == 3 else tuple(shape)
         out = np.asarray(subband_unlanes(lanes, self.b, full))
         return out.reshape(shape)
+
+    def _decode_lanes(self, words, states, freqs_g, cums_g, s_streams, l,
+                      counts):
+        """Pallas whole-scan decode on TPU when the lane grid tiles
+        (sg % 128 == 0, counts sidecar present, unroll divides l);
+        bit-identical XLA scan otherwise."""
+        g = self.b * self.b
+        sg = s_streams // g
+        if (counts is not None and jax.default_backend() == "tpu"
+                and sg % 128 == 0 and l % _pick_unroll(l) == 0):
+            from vcf_tpu.ops.pallas import rans_decode as _rd
+
+            cap = sg * max(1, -(-int(counts.max()) // sg))
+            cap = min(cap, g * sg)
+            wpad = np.concatenate([words, np.zeros(cap + 16, np.uint16)])
+            win = _rd.build_windows(jnp.asarray(wpad), jnp.asarray(counts),
+                                    cap)
+            return _rd.pallas_decode_grouped(
+                win, jnp.asarray(states), jnp.asarray(freqs_g),
+                jnp.asarray(cums_g), l, cap, unroll=_pick_unroll(l), sg=sg)
+        wpad = np.concatenate([words, np.zeros(s_streams + 16, np.uint16)])
+        return jax_decode_grouped(
+            jnp.asarray(wpad), jnp.int32(0), jnp.asarray(states),
+            jnp.asarray(freqs_g), jnp.asarray(cums_g), l)
 
 
 # ---------------------------------------------------------------------------

@@ -18,10 +18,11 @@ byte coder):
   s = g * SG + i matches the (S,) order of the XLA path, so streams
   are format-identical.
 * Symbol resolve: two-level.  Coarse bucket via 16 row-broadcast
-  compares; fine via two batched (G, 16, 16) @ (G, 16, SG) MXU
-  matmuls on the coarse one-hot (fine boundaries + fine freqs), then
-  16 compares against the fetched boundaries.  sym = 16*bucket + lo,
-  exact in f32 (all table values < 2^15).
+  compares; fine via ONE batched (G, 16, 34) @ (G, 16, SG) bf16 MXU
+  matmul on the coarse one-hot fetching 17 boundaries per bucket as
+  hi/lo bytes (each exact in bf16, f32 accumulation — see
+  _resolve_chunk), then 16 compares against the fetched boundaries.
+  freq = difference of adjacent boundaries; sym = 16*bucket + lo.
 * Word absorb: PULL-routing (see entropy/rans.py butterfly_expand):
   each lane pulls its window word through log4(S) shift stages keyed
   by base-4 digits of delta = lane - rank.  Reads never collide and
@@ -30,6 +31,14 @@ byte coder):
   renormalizes with, already aligned to the step (built by
   `build_windows` from the sidecar counts) — the kernel has NO
   data-dependent pointer at all.
+
+Mosaic dtype rules (probed on the v5e, 2026-08): uint32<->float32 and
+uint16->uint32 converts are unsupported, and 8-bit stores are risky —
+so ALL state arithmetic here is int32 with explicit logical shifts
+(wrapping int32 multiply equals the uint32 low bits), the resolve runs
+on nonnegative int32->f32 casts, windows are pre-widened to int32, and
+each grid step stores `unroll` symbols PACKED into one int32 lane
+(unpacked to uint8 outside the kernel).
 """
 
 from __future__ import annotations
@@ -54,14 +63,16 @@ RANS_L = 1 << 16
 @functools.partial(jax.jit, static_argnames=("cap",))
 def build_windows(words_padded: jnp.ndarray, counts: jnp.ndarray, cap: int):
     """words_padded (>= n_words + cap,) u16, counts (L,) i32 per decode
-    step -> (L, cap) u16: row t = words[ptr_t : ptr_t + cap] where
+    step -> (L, cap) i32: row t = words[ptr_t : ptr_t + cap] where
     ptr_t is the exclusive cumsum of counts.  One scan of L dynamic
-    slices (sequential HBM reads)."""
+    slices (sequential HBM reads).  int32 because Mosaic cannot widen
+    u16 in-kernel."""
+    w32 = words_padded.astype(jnp.int32)
     ptrs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
 
     def body(_, p):
-        return None, jax.lax.dynamic_slice(words_padded, (p,), (cap,))
+        return None, jax.lax.dynamic_slice(w32, (p,), (cap,))
 
     _, win = jax.lax.scan(body, None, ptrs)
     return win
@@ -89,19 +100,18 @@ def _flat_shift_right(x, off, sg):
 
 def _pull_expand(window_lanes, renorm, g, sg):
     """Route packed window words to renorming lanes (pull-routing).
-    window_lanes (G, SG) u32: words at flat positions 0..c-1.
-    renorm (G, SG) bool.  Returns (G, SG) u32 routed values."""
+    window_lanes (G, SG) i32: words at flat positions 0..c-1.
+    renorm (G, SG) bool.  Returns (G, SG) i32 routed values."""
     s = g * sg
-    fi = renorm.astype(jnp.int32)
+    fi = jnp.where(renorm, 1, 0)
     # rank: exclusive prefix count of flags in flat row-major order:
     # within-row prefix (log2(SG) masked shift-adds) + per-row offsets
     # (sublane cumsum via log2(G) rolls)
-    inc = fi
     csum = fi
     k = 1
     while k < sg:
         sh = pltpu.roll(csum, k, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, inc.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
         csum = csum + jnp.where(col >= k, sh, 0)
         k <<= 1
     row_tot = jnp.broadcast_to(csum[:, sg - 1:sg], (g, sg))  # inclusive row sums
@@ -109,13 +119,13 @@ def _pull_expand(window_lanes, renorm, g, sg):
     k = 1
     while k < g:
         sh = pltpu.roll(row_pre, k, 0)
-        row = jax.lax.broadcasted_iota(jnp.int32, inc.shape, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 0)
         row_pre = row_pre + jnp.where(row >= k, sh, 0)
         k <<= 1
     row_excl = row_pre - row_tot                  # flags in rows above
     rank = row_excl + csum - fi                   # exclusive flat rank
-    col = jax.lax.broadcasted_iota(jnp.int32, inc.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, inc.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 0)
     idx = row * sg + col
     delta = idx - rank                            # monotone, steps {0,1}
     val = window_lanes
@@ -133,43 +143,96 @@ def _pull_expand(window_lanes, renorm, g, sg):
     return val
 
 
-def _decode_body(x, win_rows, coarse_ref, tc_ref, tf_ref, g, sg, wr):
-    """One symbol step on states x (G, SG) u32.  win_rows (WR, SG) u16.
-    Returns (new_x, syms u8 (G, SG))."""
-    slot = x & jnp.uint32(MASK)
-    slot_f = slot.astype(jnp.float32)
-    # coarse bucket: 16 row-broadcast compares
-    bucket = jnp.zeros((g, sg), jnp.int32)
+def _resolve_chunk(slot_f, coarse_c, thl_c, gc, sg):
+    """Symbol resolve for a GC-row chunk: slot_f (GC, SG) f32 ->
+    (sym, f, cum) i32 each (GC, SG).  Chunked so the (GC, 16, SG)
+    intermediates stay under the 16 MB scoped-VMEM stack limit.
+
+    thl_c (GC, 16, 34) bf16 is the split boundary table from
+    `_split_tables`: per bucket b, 17 boundaries cums[16b..16b+16]
+    (boundary 16 = the NEXT bucket's base, 32768 past the end) split
+    into high and low bytes.  Each byte <= 255 is exact in bf16, the
+    one-hot is exact in bf16, and the MXU accumulates in f32 — so ONE
+    default-precision bf16 matmul fetches everything exactly (a f32
+    HIGHEST fetch costs 3 MXU passes per matmul and measured 2.2x
+    slower end-to-end on the v5e).  freq falls out as the difference
+    of adjacent boundaries: f = c[k+1] - c[k]."""
+    bucket = jnp.zeros((gc, sg), jnp.int32)
     for j in range(1, 16):
-        bucket += (slot_f >= coarse_ref[:, j:j + 1]).astype(jnp.int32)
-    # fine fetch: batched (G, 16, 16) @ (G, 16, SG) on the coarse one-hot
-    i16 = jax.lax.broadcasted_iota(jnp.int32, (g, 16, sg), 1)
-    oh1 = (bucket[:, None, :] == i16).astype(jnp.float32)   # (G, 16, SG)
-    dn = (((2,), (1,)), ((0,), (0,)))
-    fine_c = jax.lax.dot_general(tc_ref[:], oh1, dn,
-                                 preferred_element_type=jnp.float32)
-    fine_f = jax.lax.dot_general(tf_ref[:], oh1, dn,
-                                 preferred_element_type=jnp.float32)
-    ge2 = (slot_f[:, None, :] >= fine_c).astype(jnp.float32)  # (G, 16, SG)
+        bucket += jnp.where(slot_f >= coarse_c[:, j:j + 1], 1, 0)
+    # fine fetch: batched (GC, 16, 34) @ (GC, 16, SG) on the coarse one-hot
+    i16 = jax.lax.broadcasted_iota(jnp.int32, (gc, 16, sg), 1)
+    # (i1 -> bf16 select trips a Mosaic relayout; go through f32)
+    oh1 = jnp.where(bucket[:, None, :] == i16,
+                    1.0, 0.0).astype(jnp.bfloat16)          # (GC, 16, SG)
+    # contract the BUCKET axis of thl (dim 1) with the one-hot's
+    # bucket axis: fetched[g, k, s] = thl[g, bucket(s), k]
+    dn = (((1,), (1,)), ((0,), (0,)))
+    fetched = jax.lax.dot_general(thl_c, oh1, dn,
+                                  preferred_element_type=jnp.float32)
+    fine_c = fetched[:, :17, :] * 256.0 + fetched[:, 17:, :]  # (GC, 17, SG)
+    ge2 = jnp.where(slot_f[:, None, :] >= fine_c[:, :16, :],
+                    1.0, 0.0)                                 # (GC, 16, SG)
     oh2 = ge2 - jnp.concatenate(
-        [ge2[:, 1:, :], jnp.zeros((g, 1, sg), jnp.float32)], axis=1)
+        [ge2[:, 1:, :], jnp.zeros((gc, 1, sg), jnp.float32)], axis=1)
     lo = jnp.sum(ge2, axis=1) - 1.0
-    f = jnp.sum(oh2 * fine_f, axis=1).astype(jnp.uint32)
-    cum = jnp.sum(oh2 * fine_c, axis=1).astype(jnp.uint32)
-    sym = (bucket * 16 + lo.astype(jnp.int32)).astype(jnp.uint8)
-    x = f * (x >> K_PROB) + slot - cum
-    renorm = x < jnp.uint32(RANS_L)
+    cum = jnp.sum(oh2 * fine_c[:, :16, :], axis=1)
+    nxt = jnp.sum(oh2 * fine_c[:, 1:, :], axis=1)
+    f = (nxt - cum).astype(jnp.int32)
+    cum = cum.astype(jnp.int32)
+    sym = bucket * 16 + lo.astype(jnp.int32)
+    return sym, f, cum
+
+
+def _split_tables(cums_g):
+    """(G, 256) u32 cumulative boundaries -> (coarse (G, 16) f32,
+    thl (G, 16, 34) bf16) for `_resolve_chunk`: 17 boundaries per
+    bucket (the 17th = next bucket's base; 2^15 after the last) split
+    into hi/lo bytes, concatenated along the fetch axis."""
+    cx = jnp.concatenate(
+        [jnp.asarray(cums_g).astype(jnp.int32),
+         jnp.full((cums_g.shape[0], 1), 1 << K_PROB, jnp.int32)], axis=1)
+    g = cx.shape[0]
+    # t17[g, b, k] = cums[g, 16b + k], k = 0..16
+    idx = (jnp.arange(16)[:, None] * 16 + jnp.arange(17)[None, :]).reshape(-1)
+    t17 = cx[:, idx].reshape(g, 16, 17)
+    thl = jnp.concatenate([(t17 >> 8).astype(jnp.bfloat16),
+                           (t17 & 255).astype(jnp.bfloat16)], axis=2)
+    coarse = cx[:, :256:16].astype(jnp.float32)
+    return coarse, thl
+
+
+def _decode_body(x, win_rows, coarse_ref, thl_ref, g, sg, wr,
+                 gc=16):
+    """One symbol step on states x (G, SG) i32 (u32 bit pattern).
+    win_rows (WR, SG) i32.  Returns (new_x, syms i32 in [0,255])."""
+    slot = x & MASK                                # nonneg, < 2^15
+    slot_f = slot.astype(jnp.float32)
+    gc = min(gc, g)
+    parts = [
+        _resolve_chunk(slot_f[ci:ci + gc], coarse_ref[ci:ci + gc],
+                       thl_ref[ci:ci + gc], gc, sg)
+        for ci in range(0, g, gc)
+    ]
+    sym = jnp.concatenate([p[0] for p in parts], axis=0)
+    f = jnp.concatenate([p[1] for p in parts], axis=0)
+    cum = jnp.concatenate([p[2] for p in parts], axis=0)
+    # wrapping i32 mul == u32 low bits; shifts must be LOGICAL
+    x = f * jax.lax.shift_right_logical(x, K_PROB) + slot - cum
+    renorm = jax.lax.shift_right_logical(x, 16) == 0         # x < 2^16 unsigned
     # place the step's window words into lane layout (flat prefix)
-    win_flat = jnp.concatenate(
-        [win_rows.astype(jnp.uint32),
-         jnp.zeros((g - wr, sg), jnp.uint32)], axis=0)
+    if wr < g:
+        win_flat = jnp.concatenate(
+            [win_rows, jnp.zeros((g - wr, sg), jnp.int32)], axis=0)
+    else:
+        win_flat = win_rows[:g]
     routed = _pull_expand(win_flat, renorm, g, sg)
     x = jnp.where(renorm, (x << 16) | routed, x)
     return x, sym
 
 
 def _make_kernel(u, g, sg, wr):
-    def kernel(win_ref, st_in_ref, coarse_ref, tc_ref, tf_ref,
+    def kernel(win_ref, st_in_ref, coarse_ref, thl_ref,
                out_ref, st_ref):
         t = pl.program_id(0)
 
@@ -178,11 +241,13 @@ def _make_kernel(u, g, sg, wr):
             st_ref[:] = st_in_ref[:]
 
         x = st_ref[:]
+        packed = jnp.zeros((g, sg), jnp.int32)
         for j in range(u):
             win_rows = win_ref[0, j * wr:(j + 1) * wr, :]
-            x, syms = _decode_body(
-                x, win_rows, coarse_ref, tc_ref, tf_ref, g, sg, wr)
-            out_ref[0, j * g:(j + 1) * g, :] = syms
+            x, sym = _decode_body(
+                x, win_rows, coarse_ref, thl_ref, g, sg, wr)
+            packed = packed | (sym << (8 * j))
+        out_ref[0] = packed
         st_ref[:] = x
 
     return kernel
@@ -194,21 +259,21 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
                           freqs_g: jnp.ndarray, cums_g: jnp.ndarray,
                           l: int, cap: int, unroll: int = 4,
                           sg: int = 1024, interpret: bool = False):
-    """windows (L, cap) u16 from build_windows; states (S,) u32;
+    """windows (L, cap) i32 from build_windows; states (S,) u32;
     freqs_g/cums_g (G, 256).  Returns syms (S, L) u8, bit-identical to
-    jax_decode_grouped.  Requires l % unroll == 0, cap % sg == 0,
-    S % (G * sg)... S = G * sg with G = freqs_g.shape[0]."""
+    jax_decode_grouped.  Requires l % unroll == 0, unroll <= 4 (symbols
+    pack into one i32 per lane per grid step), cap % sg == 0,
+    S = G * sg with G = freqs_g.shape[0]."""
     g = freqs_g.shape[0]
     s = states.shape[0]
     assert s == g * sg, (s, g, sg)
-    assert l % unroll == 0 and cap % sg == 0
+    assert l % unroll == 0 and cap % sg == 0 and 1 <= unroll <= 4
     u, wr = unroll, cap // sg
-    c_f = cums_g.astype(jnp.float32)                       # (G, 256)
-    coarse = c_f[:, ::16]                                  # (G, 16)
-    tc = c_f.reshape(g, 16, 16)                            # bucket j boundaries
-    tf = freqs_g.astype(jnp.float32).reshape(g, 16, 16)
+    assert wr <= g, (wr, g, "cap must fit the (G, SG) lane grid")
+    coarse, thl = _split_tables(cums_g)
     win3 = windows.reshape(l // u, u * wr, sg)
-    st2 = states.reshape(g, sg)
+    st2 = jax.lax.bitcast_convert_type(
+        states, jnp.int32).reshape(g, sg)
     out = pl.pallas_call(
         _make_kernel(u, g, sg, wr),
         grid=(l // u,),
@@ -219,16 +284,16 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 16), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 16), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 16), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l // u, u * g, sg), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((g, sg), jnp.uint32)],
+        out_shape=jax.ShapeDtypeStruct((l // u, g, sg), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
         interpret=interpret,
-    )(win3, st2, coarse, tc, tf)
-    # (L//u, u*G, SG) -> (L, G, SG) -> (L, S) -> (S, L)
-    return out.reshape(l, g * sg).T
+    )(win3, st2, coarse, thl)
+    # unpack: byte j of grid step t is symbol t*u + j
+    bytes_ = jnp.stack(
+        [(out >> (8 * j)) & 255 for j in range(u)], axis=1)  # (L//u, u, G, SG)
+    return bytes_.astype(jnp.uint8).reshape(l, g * sg).T

@@ -51,9 +51,9 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
     unroll_d = next(u for u in (4, 3, 2, 1) if l_steps % u == 0)
     unroll_e = next(u for u in (5, 4, 3, 2, 1) if l_steps % u == 0)
 
-    # tables trained once on the first GOP's planes (frozen side info —
-    # the library path does the same via GroupedRANSCodec.freeze_tables)
-    planes0, _ = codec._gop_encode_batch(gops_dev[:1])
+    # tables trained once on the clip's planes (frozen side info — the
+    # library path does the same via GroupedRANSCodec.freeze_tables)
+    planes0, _ = codec._gop_encode_batch(gops_dev)
     lanes0 = rans_mod.block_lanes(planes0.reshape(-1, h, w, 3), b, s_streams)
     counts0 = np.asarray(rans_mod.group_histograms(lanes0, g))
     freqs_g, cums_g = rans_mod.freqs_from_counts(counts0)

@@ -103,7 +103,8 @@ def test_ipp_make_search_selects_pallas(monkeypatch):
     codec = IPPCodec(VideoConfig(), CodecConfig(use_pallas=True))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert codec._make_search(288, 352).kind == "pallas_sad"  # CIF fits
-    assert codec._make_search(1088, 1920).kind == "lax_full"  # > VMEM
+    # > VMEM untiled -> the row-tiled kernel (r3; was lax_full in r2)
+    assert codec._make_search(1088, 1920).kind == "pallas_sad_tiled"
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert codec._make_search(288, 352).kind == "lax_full"
     codec2 = IPPCodec(VideoConfig(fast_search=True),

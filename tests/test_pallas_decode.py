@@ -72,3 +72,69 @@ class TestPallasDecode:
             assert np.array_equal(win[t], wh[ptr:ptr + cap])
             ptr += counts_h[t]
         assert ptr == nw
+
+
+class TestPallasEncode:
+    """Pallas whole-scan grouped-rANS encode (ops/pallas/rans_encode.py)
+    must reproduce jax_encode_grouped's stream bit-exactly."""
+
+    @pytest.mark.parametrize("unroll", [2, 3, 4])
+    def test_bit_exact_vs_xla(self, unroll):
+        from vcf_tpu.ops.pallas import rans_encode as re_
+
+        G, SG, L = 4, 128, 12
+        syms, fj, cj, wx, nwx, stx, ctx = _stream(G, SG, L, seed=5)
+        rows, counts, states = re_.pallas_encode_grouped(
+            jnp.asarray(syms), fj, cj, unroll=unroll, sg=SG, interpret=True)
+        wp, nwp = re_.assemble_stream(rows, counts)
+        assert int(nwp) == nwx
+        assert np.array_equal(np.asarray(wp[:nwx]), np.asarray(wx[:nwx]))
+        assert np.array_equal(np.asarray(states), np.asarray(stx))
+        assert np.array_equal(np.asarray(counts), np.asarray(ctx))
+
+    def test_many_groups(self):
+        from vcf_tpu.ops.pallas import rans_encode as re_
+
+        G, SG, L = 64, 8, 8
+        syms, fj, cj, wx, nwx, stx, ctx = _stream(G, SG, L, seed=6)
+        rows, counts, states = re_.pallas_encode_grouped(
+            jnp.asarray(syms), fj, cj, unroll=4, sg=SG, interpret=True)
+        wp, nwp = re_.assemble_stream(rows, counts)
+        assert int(nwp) == nwx
+        assert np.array_equal(np.asarray(wp[:nwx]), np.asarray(wx[:nwx]))
+
+    def test_encode_decode_pallas_roundtrip(self):
+        """Kernel encode -> kernel decode closes the loop."""
+        from vcf_tpu.ops.pallas import rans_encode as re_
+
+        G, SG, L = 4, 128, 12
+        syms, fj, cj, _, _, _, _ = _stream(G, SG, L, seed=7)
+        rows, counts, states = re_.pallas_encode_grouped(
+            jnp.asarray(syms), fj, cj, unroll=4, sg=SG, interpret=True)
+        wp, nwp = re_.assemble_stream(rows, counts)
+        counts_h = np.asarray(counts)
+        cap = SG * max(1, -(-int(counts_h.max()) // SG))
+        cap = min(cap, G * SG)
+        wpad = jnp.concatenate([wp[:int(nwp)],
+                                jnp.zeros(cap + 16, jnp.uint16)])
+        win = rd.build_windows(wpad, counts, cap)
+        out = rd.pallas_decode_grouped(win, states, fj, cj, L, cap,
+                                       unroll=4, sg=SG, interpret=True)
+        assert np.array_equal(np.asarray(out), syms)
+
+
+def test_sad_search_tiled_matches_full():
+    from vcf_tpu.ops import motion
+    from vcf_tpu.ops.pallas.sad_kernel import sad_search_tiled
+
+    rng = np.random.default_rng(0)
+    h, w, m, s = 128, 256, 16, 8
+    ref = rng.integers(0, 255, size=(h, w)).astype(np.float32)
+    cur = np.roll(ref, (3, -5), (0, 1)) \
+        + rng.normal(0, 2, (h, w)).astype(np.float32)
+    mv_t, sad_t = sad_search_tiled(jnp.asarray(ref), jnp.asarray(cur),
+                                   m, s, tile_h=32, interpret=True)
+    mv_f, sad_f = motion.full_search(jnp.asarray(ref), jnp.asarray(cur), m, s)
+    assert np.array_equal(np.asarray(mv_t), np.asarray(mv_f))
+    np.testing.assert_allclose(np.asarray(sad_t), np.asarray(sad_f),
+                               atol=1e-1)

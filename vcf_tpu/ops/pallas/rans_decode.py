@@ -74,7 +74,9 @@ def build_windows(words_padded: jnp.ndarray, counts: jnp.ndarray, cap: int):
     def body(_, p):
         return None, jax.lax.dynamic_slice(w32, (p,), (cap,))
 
-    _, win = jax.lax.scan(body, None, ptrs)
+    # unroll amortizes the per-step scan overhead (the slices are
+    # latency-bound, ~8 us/step un-unrolled on the v5e)
+    _, win = jax.lax.scan(body, None, ptrs, unroll=8)
     return win
 
 
@@ -98,15 +100,11 @@ def _flat_shift_right(x, off, sg):
     return y
 
 
-def _pull_expand(window_lanes, renorm, g, sg):
-    """Route packed window words to renorming lanes (pull-routing).
-    window_lanes (G, SG) i32: words at flat positions 0..c-1.
-    renorm (G, SG) bool.  Returns (G, SG) i32 routed values."""
-    s = g * sg
-    fi = jnp.where(renorm, 1, 0)
-    # rank: exclusive prefix count of flags in flat row-major order:
-    # within-row prefix (log2(SG) masked shift-adds) + per-row offsets
-    # (sublane cumsum via log2(G) rolls)
+def _flat_rank(flags, g, sg):
+    """Exclusive prefix count of `flags` (G, SG) bool in flat row-major
+    order: within-row prefix (log2(SG) masked shift-adds) + per-row
+    offsets (sublane cumsum via log2(G) rolls).  Returns (G, SG) i32."""
+    fi = jnp.where(flags, 1, 0)
     csum = fi
     k = 1
     while k < sg:
@@ -123,11 +121,23 @@ def _pull_expand(window_lanes, renorm, g, sg):
         row_pre = row_pre + jnp.where(row >= k, sh, 0)
         k <<= 1
     row_excl = row_pre - row_tot                  # flags in rows above
-    rank = row_excl + csum - fi                   # exclusive flat rank
-    col = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 0)
-    idx = row * sg + col
-    delta = idx - rank                            # monotone, steps {0,1}
+    return row_excl + csum - fi                   # exclusive flat rank
+
+
+def _flat_idx(g, sg):
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, sg), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, sg), 0)
+    return row * sg + col
+
+
+def _pull_expand(window_lanes, renorm, g, sg):
+    """Route packed window words to renorming lanes (pull-routing).
+    window_lanes (G, SG) i32: words at flat positions 0..c-1.
+    renorm (G, SG) bool.  Returns (G, SG) i32 routed values."""
+    s = g * sg
+    rank = _flat_rank(renorm, g, sg)
+    idx = _flat_idx(g, sg)
+    delta = idx - rank                            # monotone, steps {0, 1}
     val = window_lanes
     n_bits = max(int(np.ceil(np.log2(max(s, 2)))), 1)
     for dig in range((n_bits + 1) // 2 - 1, -1, -1):

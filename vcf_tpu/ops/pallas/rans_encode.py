@@ -1,0 +1,407 @@
+"""Pallas grouped-rANS encode: the whole encode scan in ONE kernel.
+
+Mirror of ops/pallas/rans_decode.py (see its header for the TPU design
+rules).  The XLA encode (entropy/rans.py jax_encode_grouped) runs a
+765-step lax.scan whose per-step launches dominate at bench shapes
+(~24 ms / 50M symbols at the best unroll); here the scan, the table
+fetch, the state update, and the per-step word compaction all run
+inside one `pl.pallas_call` with states in VMEM scratch.
+
+Per encode step (symbols consumed in REVERSE column order, like the
+XLA path):
+
+* Fetch (f, cum) by symbol: hi-nibble one-hot -> ONE bf16
+  (G, 16, 64) @ (G, 16, SG) MXU matmul pulls the symbol's bucket row
+  [f_hi | f_lo | c_hi | c_lo] (all bytes <= 255: exact in bf16, f32
+  accumulation); low-nibble select folds it to per-lane f/cum.
+* Renormalize: emit lanes with (x >>> 17) >= f push their low 16 bits
+  into the step's word row, compacted to a flat prefix by an LSB-first
+  radix-4 monotone butterfly (the in-kernel port of entropy/rans.py
+  _compact4, flat (G, SG) shifts).
+* Divide: Mosaic has no u32 divide, so q = x // f is computed as a f32
+  reciprocal estimate + exact int32 remainder fix: post-renorm
+  x < f * 2^17, so |float(x)/f - x/f| <= 2^-7 and one +-1 correction
+  round makes (q, r) exact (a second round is kept as margin).
+* Output: the step's padded word row lands at DECODE-step index
+  (rows are written in reverse grid order), so the rows concatenated
+  by their counts reproduce jax_encode_grouped's stream bit-exactly
+  (assembled outside by `assemble_stream`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vcf_tpu.ops.pallas.rans_decode import (
+    _flat_idx,
+    _flat_rank,
+    _flat_shift_right,
+)
+
+K_PROB = 15
+RANS_L = 1 << 16
+_SHIFT_EMIT = 32 - K_PROB
+
+
+def _flat_shift_left(x, off, sg):
+    """x (G, SG) viewed as a flat row-major vector, shifted LEFT by
+    `off` (right-fill irrelevant: monotone compaction never selects
+    it)."""
+    g = x.shape[0]
+    rr, cc = off // sg, off % sg
+    if cc:
+        y = pltpu.roll(x, sg - cc, 1)            # out[i] = in[(i+cc) % sg]
+        carry = pltpu.roll(y, g - 1, 0)          # out row r = in row r+1
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = jnp.where(col >= sg - cc, carry, y)
+    else:
+        y = x
+    if rr:
+        y = pltpu.roll(y, g - rr, 0)
+    return y
+
+
+def _push_compact(vals, flags, g, sg):
+    """Pack flagged values to the flat front (stable): out[rank_i] =
+    vals[i].  LSB-first radix-4 monotone left-compaction — the flat
+    (G, SG) port of entropy/rans.py _compact4.  Lanes past the flag
+    count hold unspecified residuals."""
+    s = g * sg
+    rank = _flat_rank(flags, g, sg)
+    idx = _flat_idx(g, sg)
+    shift = jnp.where(flags, idx - rank, 0)
+    val = vals
+    active = flags
+    n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
+    for dig in range((n_stages + 1) // 2):
+        step = 1 << (2 * dig)
+        d = (shift >> (2 * dig)) & 3
+        val_new = val
+        shift_new = shift
+        act_new = active & (d == 0)
+        for j in (1, 2, 3):
+            off = j * step
+            if off >= s:
+                continue
+            move = active & (d == j)
+            val_in = _flat_shift_left(val, off, sg)
+            move_in = _flat_shift_left(
+                jnp.where(move, 1, 0), off, sg)
+            # zero-fill the wrapped tail (roll wraps; compaction needs
+            # false flags streaming in from past the end)
+            move_in = jnp.where(idx < s - off, move_in, 0) != 0
+            shift_in = _flat_shift_left(shift, off, sg)
+            val_new = jnp.where(move_in, val_in, val_new)
+            shift_new = jnp.where(move_in, shift_in - off, shift_new)
+            act_new = act_new | move_in
+        val, shift, active = val_new, shift_new, act_new
+    return val
+
+
+def _fetch_one(oh, lo_f, tab_c, gc, sg):
+    """Fetch one hi/lo-byte-split value per lane: tab_c (GC, 16, 32)
+    bf16 = [v_hi | v_lo] per hi-nibble bucket, oh (GC, 16, SG) bf16
+    bucket one-hot, lo_f (GC, SG) f32 low nibble."""
+    dn = (((1,), (1,)), ((0,), (0,)))
+    fetched = jax.lax.dot_general(tab_c, oh, dn,
+                                  preferred_element_type=jnp.float32)
+    sel = jnp.zeros((gc, sg), jnp.float32)
+    for k in range(16):
+        m = jnp.where(lo_f == float(k), 1.0, 0.0)
+        sel += m * (fetched[:, k, :] * 256.0 + fetched[:, 16 + k, :])
+    return sel
+
+
+def _fetch_fc(sym, thl_c, gc, sg):
+    """(f, cum) f32 (exact, <= 2^15) for symbols `sym` (GC, SG) i32 in
+    [0, 256) from the split table thl_c (GC, 16, 64) bf16 =
+    [f_hi | f_lo | c_hi | c_lo] per hi-nibble bucket.  Two sequential
+    (GC, 16, 32) passes keep the live VMEM stack half the size of one
+    fused 64-row fetch (the kernel sits near the 16 MB scoped limit)."""
+    hi = sym >> 4
+    lo_f = (sym & 15).astype(jnp.float32)
+    i16 = jax.lax.broadcasted_iota(jnp.int32, (gc, 16, sg), 1)
+    oh = jnp.where(hi[:, None, :] == i16, 1.0, 0.0).astype(jnp.bfloat16)
+    f_sel = _fetch_one(oh, lo_f, thl_c[:, :, :32], gc, sg)
+    c_sel = _fetch_one(oh, lo_f, thl_c[:, :, 32:], gc, sg)
+    return f_sel, c_sel
+
+
+def _encode_body(x, sym, thl_ref, g, sg, gc=8):
+    """One encode step on states x (G, SG) i32 (u32 bit pattern) with
+    symbols sym (G, SG) i32.  Returns (new_x, word_row i32 (G, SG)
+    prefix-compacted, count scalar i32)."""
+    gc = min(gc, g)
+    parts = [
+        _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
+        for ci in range(0, g, gc)
+    ]
+    f_f = jnp.concatenate([p[0] for p in parts], axis=0)   # f32, exact
+    c_f = jnp.concatenate([p[1] for p in parts], axis=0)
+    f = f_f.astype(jnp.int32)
+    cum = c_f.astype(jnp.int32)
+    # renorm: emit low 16 bits when (x >>> _SHIFT_EMIT) >= f
+    emit = jax.lax.shift_right_logical(x, _SHIFT_EMIT) >= f
+    low16 = x & 0xFFFF
+    x = jnp.where(emit, jax.lax.shift_right_logical(x, 16), x)
+    # exact unsigned division x // f via f32 estimate + int32 fix:
+    # post-renorm x < f * 2^17 so the f32 estimate is within ~2^-7
+    x_hi = jax.lax.shift_right_logical(x, 16).astype(jnp.float32)
+    x_lo = (x & 0xFFFF).astype(jnp.float32)
+    q = jnp.floor((x_hi * 65536.0 + x_lo) / f_f).astype(jnp.int32)
+    r = x - q * f                      # exact: wrapping i32, |r| small
+    for _ in range(2):
+        over = r >= f
+        q = jnp.where(over, q + 1, q)
+        r = jnp.where(over, r - f, r)
+        under = r < 0
+        q = jnp.where(under, q - 1, q)
+        r = jnp.where(under, r + f, r)
+    x = (q << K_PROB) + r + cum
+    words = _push_compact(low16, emit, g, sg)
+    count = jnp.sum(jnp.where(emit, 1, 0))
+    return x, words, count
+
+
+def _make_kernel(u, g, sg):
+    def kernel(sin_ref, thl_ref, out_ref, cnt_ref, st_ref, x_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.full((g, sg), RANS_L, jnp.int32)
+
+        x = x_ref[:]
+        for j in range(u):
+            sym = (sin_ref[0] >> (8 * j)) & 255
+            x, words, count = _encode_body(x, sym, thl_ref, g, sg)
+            # encode sub-step j lands at decode row u-1-j of the
+            # (reversed) output block; words are 16-bit values — store
+            # i16 to halve the out-block VMEM and HBM traffic
+            out_ref[0, (u - 1 - j) * g:(u - j) * g, :] = \
+                words.astype(jnp.int16)
+            cnt_ref[0, u - 1 - j:u - j, :] = jnp.full((1, 128), count,
+                                                     jnp.int32)
+        x_ref[:] = x
+        st_ref[:] = x
+
+    return kernel
+
+
+def _make_kernel_raw(u, g, sg):
+    """Two-phase variant: per-step work is ONLY fetch + state update;
+    the (low16, emit) grids stream out raw and one global bandwidth-
+    bound butterfly pass packs them outside the kernel (mirrors
+    entropy/rans.py jax_encode_grouped's two-phase structure — the
+    in-kernel per-step compaction of `_make_kernel` costs ~8 radix-4
+    stages over all S lanes per SYMBOL, which is exactly the work the
+    XLA path hoists into one global pass).  Each lane stores
+    (emit << 16) | low16 packed in ONE i32 output."""
+    def kernel(sin_ref, thl_ref, le_ref, st_ref, x_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.full((g, sg), RANS_L, jnp.int32)
+
+        x = x_ref[:]
+        for j in range(u):
+            sym = (sin_ref[0] >> (8 * j)) & 255
+            gc = min(8, g)
+            parts = [
+                _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
+                for ci in range(0, g, gc)
+            ]
+            f_f = jnp.concatenate([p[0] for p in parts], axis=0)
+            c_f = jnp.concatenate([p[1] for p in parts], axis=0)
+            f = f_f.astype(jnp.int32)
+            cum = c_f.astype(jnp.int32)
+            emit = jax.lax.shift_right_logical(x, _SHIFT_EMIT) >= f
+            low16 = x & 0xFFFF
+            x = jnp.where(emit, jax.lax.shift_right_logical(x, 16), x)
+            x_hi = jax.lax.shift_right_logical(x, 16).astype(jnp.float32)
+            x_lo = (x & 0xFFFF).astype(jnp.float32)
+            q = jnp.floor((x_hi * 65536.0 + x_lo) / f_f).astype(jnp.int32)
+            r = x - q * f
+            for _ in range(2):
+                over = r >= f
+                q = jnp.where(over, q + 1, q)
+                r = jnp.where(over, r - f, r)
+                under = r < 0
+                q = jnp.where(under, q - 1, q)
+                r = jnp.where(under, r + f, r)
+            x = (q << K_PROB) + r + cum
+            row = (u - 1 - j)
+            le_ref[0, row * g:(row + 1) * g, :] = \
+                low16 | (jnp.where(emit, 1, 0) << 16)
+        x_ref[:] = x
+        st_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("unroll", "sg", "interpret"))
+def pallas_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
+                          cums_g: jnp.ndarray, unroll: int = 4,
+                          sg: int = 1024, interpret: bool = False):
+    """syms (S, L) u8 lane matrix (lane s = g * SG + i), freqs_g/cums_g
+    (G, 256).  Returns (rows (L, S) i32 padded word rows in decode-step
+    order with each row's words as a flat prefix, counts (L,) i32,
+    states (S,) u32) — `assemble_stream` turns rows+counts into the
+    exact jax_encode_grouped stream.  Requires l % unroll == 0,
+    unroll <= 4, S = G * sg."""
+    g = freqs_g.shape[0]
+    s, l = syms.shape
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and 1 <= unroll <= 4
+    u = unroll
+    # split fetch table: [f_hi | f_lo | c_hi | c_lo] per hi-nibble bucket
+    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
+    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
+    thl = jnp.concatenate(
+        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
+        axis=2).astype(jnp.bfloat16)                       # (G, 16, 64)
+    # pack u symbol planes per grid step, REVERSED column order: grid
+    # step t, byte j <-> symbol column l-1-(t*u+j)
+    rev = syms[:, ::-1].astype(jnp.int32)                  # (S, L)
+    r4 = rev.T.reshape(l // u, u, g, sg)
+    sin = jnp.zeros((l // u, g, sg), jnp.int32)
+    for j in range(u):
+        sin = sin | (r4[:, j] << (8 * j))
+    nblk = l // u
+    out, cnt, st = pl.pallas_call(
+        _make_kernel(u, g, sg),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # encode grid runs NEWEST symbol first; decode rows count
+            # up from the stream head, so block t writes row nblk-1-t
+            pl.BlockSpec((1, u * g, sg), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u, 128), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, u * g, sg), jnp.int16),
+            jax.ShapeDtypeStruct((nblk, u, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, sg), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(sin, thl)
+    rows = out.reshape(l, s)
+    counts = cnt[:, :, 0].reshape(l)
+    states = jax.lax.bitcast_convert_type(
+        st.reshape(s), jnp.uint32)
+    return rows, counts, states
+
+
+@functools.partial(jax.jit, static_argnames=("unroll", "sg", "interpret"))
+def pallas_encode_grouped_raw(syms: jnp.ndarray, freqs_g: jnp.ndarray,
+                              cums_g: jnp.ndarray, unroll: int = 4,
+                              sg: int = 1024, interpret: bool = False):
+    """Two-phase Pallas encode: the kernel streams packed
+    (emit << 16) | low16 grids in decode-step order ((L, S) i32);
+    `finish_stream` (one global butterfly pass) packs the stream.
+    Same stream bytes as jax_encode_grouped / the compacting kernel
+    (the per-step in-kernel compaction dominates
+    `pallas_encode_grouped`, so this two-phase split mirrors the XLA
+    path's structure with the scan inside one kernel)."""
+    g = freqs_g.shape[0]
+    s, l = syms.shape
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and 1 <= unroll <= 4
+    u = unroll
+    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
+    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
+    thl = jnp.concatenate(
+        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
+        axis=2).astype(jnp.bfloat16)
+    rev = syms[:, ::-1].astype(jnp.int32)
+    r4 = rev.T.reshape(l // u, u, g, sg)
+    sin = jnp.zeros((l // u, g, sg), jnp.int32)
+    for j in range(u):
+        sin = sin | (r4[:, j] << (8 * j))
+    nblk = l // u
+    le, st = pl.pallas_call(
+        _make_kernel_raw(u, g, sg),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, u * g, sg), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, u * g, sg), jnp.int32),
+            jax.ShapeDtypeStruct((g, sg), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(sin, thl)
+    states = jax.lax.bitcast_convert_type(st.reshape(s), jnp.uint32)
+    return le.reshape(l, s), states
+
+
+@jax.jit
+def finish_stream(le: jnp.ndarray):
+    """(L, S) i32 packed (emit << 16) | low16 grids in decode order ->
+    (words u16 prefix, n_words, counts (L,) i32) via the global
+    monotone compaction (entropy/rans.py butterfly_compact_chunked)."""
+    from vcf_tpu.entropy.rans import (
+        butterfly_compact,
+        butterfly_compact_chunked,
+    )
+
+    l, s = le.shape
+    emits = le >> 16
+    flags = emits.reshape(-1) != 0
+    vals = (le & 0xFFFF).astype(jnp.uint16).reshape(-1)
+    n = vals.shape[0]
+    if n % 32768 == 0 and n > 32768:
+        words, n_words = butterfly_compact_chunked(vals, flags)
+    else:
+        words = butterfly_compact(vals, flags)
+        n_words = jnp.sum(flags.astype(jnp.int32))
+    counts = jnp.sum(emits.astype(jnp.int32), axis=1)
+    return words, n_words, counts
+
+
+@functools.partial(jax.jit, static_argnames=())
+def assemble_stream(rows: jnp.ndarray, counts: jnp.ndarray):
+    """(L, S) i32 prefix-padded rows + (L,) counts -> (words (L*S,)
+    u16 with the valid stream as a prefix, n_words i32).  Rows are
+    written t-ascending at their cumulative offsets; each write's
+    padding tail is overwritten by the next row's words, exactly like
+    entropy/rans.py butterfly_compact_chunked's stitch pass."""
+    l, s = rows.shape
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+
+    def body(out, inp):
+        row, off = inp
+        return jax.lax.dynamic_update_slice(
+            out, row.astype(jnp.uint16), (off,)), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((l * s,), jnp.uint16), (rows, offs), unroll=4)
+    return out, offs[-1] + counts[-1]

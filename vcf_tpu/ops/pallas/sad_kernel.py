@@ -103,3 +103,105 @@ def sad_search(ref_luma: jnp.ndarray, cur_luma: jnp.ndarray, m: int, s: int,
     best = jnp.argmin(sads, axis=0)
     mv = disp[best].astype(jnp.int32)
     return mv, jnp.min(sads, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled variant: 1080p-class frames (the untiled kernel keeps both
+# whole frames in VMEM, >16 MB at 1080p, so video/ipp.py fell back to
+# the latency-bound XLA roll-per-displacement search — VERDICT r2
+# BASELINE config 5's encode wall)
+# ---------------------------------------------------------------------------
+
+def _sad_tile_kernel(cur_ref, refp_ref, pv_ref, ph_ref, o_ref, *, s: int,
+                     interpret: bool):
+    d = pl.program_id(1)
+    n_side = 2 * s + 1
+    dy = d // n_side
+    dx = d % n_side
+    r = refp_ref[0]                     # (THP, W2): tile + s halo rows
+    thp, w2 = r.shape
+    roll = jnp.roll if interpret else pltpu.roll
+    # align halo row dy with tile row 0: out[y] = in[(y + dy) % thp];
+    # y < TH never wraps because THP >= TH + 2s, and rows >= TH are
+    # zero in the pooling matrix
+    r = roll(r, thp - dy, 0)
+    r = roll(r, w2 - dx, 1)
+    diff = jnp.abs(cur_ref[0] - r[:cur_ref.shape[1]])
+    row_sum = jnp.dot(pv_ref[:], diff, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = jnp.dot(row_sum, ph_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "s", "tile_h", "interpret"))
+def sad_search_tiled(ref_luma: jnp.ndarray, cur_luma: jnp.ndarray, m: int,
+                     s: int, tile_h: int = 0, interpret: bool = False):
+    """Row-tiled full-search block ME, same contract as `sad_search`.
+
+    The frame is cut into row tiles; each tile's reference slab carries
+    an s-row halo (edge-padded at the frame boundary, exactly like the
+    untiled kernel's global pad), pre-expanded in HBM so every grid
+    block is a plain non-overlapping BlockSpec read.  Grid is
+    (n_tiles, n_disp) with the displacement axis innermost, so the
+    tile's cur/ref slabs stay VMEM-resident across all displacements
+    (one HBM read per tile, not per displacement)."""
+    h, w = cur_luma.shape
+    if tile_h == 0:
+        tile_h = h
+        while 4 * (tile_h + 2 * s + 8) * _round_up(w + 2 * s, 128) * 2 \
+                > 8 * 1024 * 1024 and tile_h % 2 == 0 and (tile_h // 2) % m == 0:
+            tile_h //= 2
+    th = tile_h
+    assert h % th == 0 and th % m == 0, (h, th, m)
+    n_tiles = h // th
+    nby_t, nbx = th // m, w // m
+    n_side = 2 * s + 1
+    n_disp = n_side * n_side
+    thp = _round_up(th + 2 * s, 8)
+    w2 = _round_up(w + 2 * s, 128)
+    ref_pad = jnp.pad(ref_luma.astype(jnp.float32),
+                      ((s, thp - th - s), (s, w2 - w - s)), mode="edge")
+    # overlapping halo slabs, pre-expanded: slab t = rows [t*th, t*th+thp)
+    # of the padded frame (tile rows + s halo each side + tile rounding)
+    slabs = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(ref_pad, t * th, thp, 0)
+        for t in range(n_tiles)
+    ])                                                       # (T, THP, W2)
+    cur_pad = jnp.pad(cur_luma.astype(jnp.float32),
+                      ((0, 0), (0, w2 - w))).reshape(n_tiles, th, w2)
+    # diff covers tile rows only (wrap never reaches rows < TH), so the
+    # row pool is a plain block-sum matrix over the tile
+    pool_v = np.zeros((nby_t, th), np.float32)
+    for by in range(nby_t):
+        pool_v[by, by * m:(by + 1) * m] = 1.0
+    pool_h = np.zeros((w2, nbx), np.float32)
+    for bx in range(nbx):
+        pool_h[bx * m:(bx + 1) * m, bx] = 1.0
+    kernel = functools.partial(_sad_tile_kernel, s=s, interpret=interpret)
+    sads = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_disp),
+        in_specs=[
+            pl.BlockSpec((1, th, w2), lambda t, d: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, thp, w2), lambda t, d: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nby_t, th), lambda t, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2, nbx), lambda t, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nby_t, nbx), lambda t, d: (t, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_disp, nby_t, nbx),
+                                       jnp.float32),
+        interpret=interpret,
+    )(cur_pad, slabs, jnp.asarray(pool_v), jnp.asarray(pool_h))
+
+    # (T, D, nby_t, nbx) -> (D, T*nby_t, nbx)
+    sads = sads.transpose(1, 0, 2, 3).reshape(n_disp, n_tiles * nby_t, nbx)
+    disp = jnp.stack(
+        jnp.meshgrid(jnp.arange(-s, s + 1), jnp.arange(-s, s + 1), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 2)
+    best = jnp.argmin(sads, axis=0)
+    mv = disp[best].astype(jnp.int32)
+    return mv, jnp.min(sads, axis=0)

@@ -100,11 +100,25 @@ class IPPCodec:
             + (h // m) * h + w * (w // m) + n_disp * (h // m) * (w // m)
         )
         if (self.ccfg.use_pallas and h % m == 0 and w % m == 0
-                and vmem_bytes < 12 * 1024 * 1024
                 and jax.default_backend() == "tpu"):
-            from vcf_tpu.ops.pallas.sad_kernel import sad_search
+            if vmem_bytes < 12 * 1024 * 1024:
+                from vcf_tpu.ops.pallas.sad_kernel import sad_search
 
-            return tagged("pallas_sad", lambda r, c: sad_search(r, c, m, s))
+                return tagged("pallas_sad",
+                              lambda r, c: sad_search(r, c, m, s))
+            # 1080p-class frames: row-tiled kernel (ref slab + halo per
+            # tile in VMEM; one HBM read per tile, displacements inner)
+            th = h
+            while th % 2 == 0 and (th // 2) % m == 0 and 4 * 2 * (
+                    th + 2 * s + 8) * (-(-(w + 2 * s) // 128) * 128) \
+                    > 8 * 1024 * 1024:
+                th //= 2
+            if th % m == 0 and h % th == 0:
+                from vcf_tpu.ops.pallas.sad_kernel import sad_search_tiled
+
+                return tagged(
+                    "pallas_sad_tiled",
+                    lambda r, c: sad_search_tiled(r, c, m, s, tile_h=th))
         return tagged("lax_full", lambda r, c: motion.full_search(r, c, m, s))
 
     def _build(self):

@@ -73,8 +73,10 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
         def body(i, acc):
             planes, mvs, words, nw, st, counts = encode_full(
                 jnp.roll(gd, i, axis=0))
+            # consume words so the compaction pass cannot be DCE'd
             return acc + nw + st[0].astype(jnp.int32) \
-                + mvs[0, 0, 0, 0, 0].astype(jnp.int32)
+                + mvs[0, 0, 0, 0, 0].astype(jnp.int32) \
+                + jnp.sum(words[:8].astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     planes, mvs, words, nw, st, counts = encode_full(gops_dev)

@@ -54,8 +54,10 @@ def _device_resident(h, w, n_frames=8):
     def enc_reps(reps, x):
         def body(i, acc):
             lanes = R.block_lanes(enc_t(jnp.roll(x, i, 0)), b, s_streams)
-            _, nw, st = R.jax_encode_grouped(lanes, fg_j, cg_j, unroll=u_e)
-            return acc + nw + st[0].astype(jnp.int32)
+            w, nw, st = R.jax_encode_grouped(lanes, fg_j, cg_j, unroll=u_e)
+            # consume words so the compaction pass cannot be DCE'd
+            return acc + nw + st[0].astype(jnp.int32) \
+                + jnp.sum(w[:8].astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     @jax.jit

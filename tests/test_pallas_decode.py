@@ -138,3 +138,33 @@ def test_sad_search_tiled_matches_full():
     assert np.array_equal(np.asarray(mv_t), np.asarray(mv_f))
     np.testing.assert_allclose(np.asarray(sad_t), np.asarray(sad_f),
                                atol=1e-1)
+
+
+class TestGridLayout:
+    """Grid-layout pair: encoder's raw (emit<<16)|low16 grid decodes
+    with ZERO routing (renorm flags mirror emit flags lane-for-lane)."""
+
+    @pytest.mark.parametrize("unroll", [3, 4])
+    def test_grid_roundtrip(self, unroll):
+        from vcf_tpu.ops.pallas import rans_encode as re_
+
+        G, SG, L = 4, 128, 12
+        syms, fj, cj, _, _, _, _ = _stream(G, SG, L, seed=9)
+        le, st = re_.pallas_encode_grouped_raw(
+            jnp.asarray(syms), fj, cj, unroll=unroll, sg=SG, interpret=True)
+        out = rd.pallas_decode_grouped_grid(
+            le, st, fj, cj, L, unroll=unroll, sg=SG, interpret=True)
+        assert np.array_equal(np.asarray(out), syms)
+
+    def test_finish_stream_pallas_matches_xla_stream(self):
+        from vcf_tpu.ops.pallas import rans_encode as re_
+
+        G, SG, L = 8, 128, 64   # n = 65536: exercises >1 chunk
+        syms, fj, cj, wx, nwx, stx, ctx = _stream(G, SG, L, seed=10)
+        le, st = re_.pallas_encode_grouped_raw(
+            jnp.asarray(syms), fj, cj, unroll=4, sg=SG, interpret=True)
+        wp, nwp, counts = re_.finish_stream_pallas(
+            le, chunk=8192, sg2=128, interpret=True)
+        assert int(nwp) == nwx
+        assert np.array_equal(np.asarray(wp[:nwx]), np.asarray(wx[:nwx]))
+        assert np.array_equal(np.asarray(counts), np.asarray(ctx))

@@ -309,7 +309,10 @@ def butterfly_compact_chunked(vals: jnp.ndarray, flags: jnp.ndarray,
     c = n // chunk
     v = vals.reshape(c, chunk)
     f = flags.reshape(c, chunk)
-    packed = jax.vmap(butterfly_compact)(v, f)              # (C, chunk)
+    # _compact4: same packed prefix, half the sequential stages of the
+    # radix-2 butterfly (the stitch below only reads each chunk's
+    # prefix, so tail-lane residuals are irrelevant)
+    packed = jax.vmap(_compact4)(v, f)                      # (C, chunk)
     counts = jnp.sum(f.astype(jnp.int32), axis=1)           # (C,)
     offs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])

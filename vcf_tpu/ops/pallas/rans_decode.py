@@ -263,6 +263,90 @@ def _make_kernel(u, g, sg, wr):
     return kernel
 
 
+def _make_grid_kernel(u, g, sg):
+    def kernel(le_ref, st_in_ref, coarse_ref, thl_ref, out_ref, st_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            st_ref[:] = st_in_ref[:]
+
+        x = st_ref[:]
+        packed = jnp.zeros((g, sg), jnp.int32)
+        for j in range(u):
+            slot = x & MASK
+            slot_f = slot.astype(jnp.float32)
+            gc = 16 if g >= 16 else g
+            parts = [
+                _resolve_chunk(slot_f[ci:ci + gc], coarse_ref[ci:ci + gc],
+                               thl_ref[ci:ci + gc], gc, sg)
+                for ci in range(0, g, gc)
+            ]
+            sym = jnp.concatenate([p[0] for p in parts], axis=0)
+            f = jnp.concatenate([p[1] for p in parts], axis=0)
+            cum = jnp.concatenate([p[2] for p in parts], axis=0)
+            x = f * jax.lax.shift_right_logical(x, K_PROB) + slot - cum
+            renorm = jax.lax.shift_right_logical(x, 16) == 0
+            # ZERO routing: decode renorm flags mirror encode emit
+            # flags lane-for-lane, so lane s's word at step t IS the
+            # grid value le[t, s] (garbage where not flagged — never
+            # read)
+            word = le_ref[0, j * g:(j + 1) * g, :] & 0xFFFF
+            x = jnp.where(renorm, (x << 16) | word, x)
+            packed = packed | (sym << (8 * j))
+        out_ref[0] = packed
+        st_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("l", "unroll", "sg",
+                                             "interpret"))
+def pallas_decode_grouped_grid(le: jnp.ndarray, states: jnp.ndarray,
+                               freqs_g: jnp.ndarray, cums_g: jnp.ndarray,
+                               l: int, unroll: int = 4, sg: int = 1024,
+                               interpret: bool = False):
+    """Grid-layout decode: consumes the ENCODER's raw (L, S) i32
+    (emit << 16) | low16 grid (ops/pallas/rans_encode.py
+    pallas_encode_grouped_raw output) directly — the interleaved-rANS
+    lane alignment means decode-step-t renorm flags equal the encode
+    emit flags LANE FOR LANE, so no word routing, windows, or counts
+    exist on this path at all.  The compact wire stream is purely a
+    serialization concern (finish_stream_pallas / host stitch).
+    Returns syms (S, L) u8, bit-identical to jax_decode_grouped on the
+    equivalent compact stream."""
+    g = freqs_g.shape[0]
+    s = states.shape[0]
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and 1 <= unroll <= 4
+    u = unroll
+    coarse, thl = _split_tables(cums_g)
+    le3 = le.reshape(l // u, u * g, sg)
+    st2 = jax.lax.bitcast_convert_type(states, jnp.int32).reshape(g, sg)
+    out = pl.pallas_call(
+        _make_grid_kernel(u, g, sg),
+        grid=(l // u,),
+        in_specs=[
+            pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 16), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l // u, g, sg), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(le3, st2, coarse, thl)
+    bytes_ = jnp.stack(
+        [(out >> (8 * j)) & 255 for j in range(u)], axis=1)
+    return bytes_.astype(jnp.uint8).reshape(l, g * sg).T
+
+
 @functools.partial(jax.jit, static_argnames=("l", "cap", "unroll", "sg",
                                              "interpret"))
 def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,

@@ -386,6 +386,65 @@ def finish_stream(le: jnp.ndarray):
     return words, n_words, counts
 
 
+def _make_compact_kernel(g2, sg2):
+    def kernel(le_ref, out_ref, cnt_ref):
+        le = le_ref[0]
+        vals = le & 0xFFFF
+        flags = (le >> 16) != 0
+        out_ref[0] = _push_compact(vals, flags, g2, sg2)
+        cnt_ref[0, 0:1, :] = jnp.full(
+            (1, 128), jnp.sum(jnp.where(flags, 1, 0)), jnp.int32)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "sg2", "interpret"))
+def finish_stream_pallas(le: jnp.ndarray, chunk: int = 32768,
+                         sg2: int = 1024, interpret: bool = False):
+    """Pallas replacement for `finish_stream`: per-chunk radix-4
+    compaction runs INSIDE one kernel (8 in-VMEM stages per chunk vs
+    15 XLA ops-per-stage passes of butterfly_compact_chunked), then the
+    standard stitch scan writes each chunk's packed prefix at its
+    cumulative offset.  Same (words, n_words, counts) as
+    `finish_stream`."""
+    l, s = le.shape
+    n = l * s
+    assert n % chunk == 0 and chunk % sg2 == 0
+    c = n // chunk
+    g2 = chunk // sg2
+    le3 = le.reshape(c, g2, sg2)
+    packed, cnts = pl.pallas_call(
+        _make_compact_kernel(g2, sg2),
+        grid=(c,),
+        in_specs=[pl.BlockSpec((1, g2, sg2), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, g2, sg2), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, g2, sg2), jnp.int32),
+            jax.ShapeDtypeStruct((c, 1, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(le3)
+    counts_chunk = cnts[:, 0, 0]                              # (C,)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_chunk)[:-1]])
+    rows16 = (packed.reshape(c, chunk) & 0xFFFF).astype(jnp.uint16)
+
+    def body(out, inp):
+        row, off = inp
+        return jax.lax.dynamic_update_slice(out, row, (off,)), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((n,), jnp.uint16), (rows16, offs), unroll=4)
+    n_words = offs[-1] + counts_chunk[-1]
+    counts = jnp.sum(le >> 16, axis=1)                        # (L,)
+    return out, n_words, counts
+
+
 @functools.partial(jax.jit, static_argnames=())
 def assemble_stream(rows: jnp.ndarray, counts: jnp.ndarray):
     """(L, S) i32 prefix-padded rows + (L,) counts -> (words (L*S,)

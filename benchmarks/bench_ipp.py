@@ -59,63 +59,105 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
     freqs_g, cums_g = rans_mod.freqs_from_counts(counts0)
     fg_j, cg_j = jnp.asarray(freqs_g), jnp.asarray(cums_g)
 
+    use_pallas = jax.default_backend() == "tpu" and sg % 128 == 0
+    use_grid = use_pallas and l_steps % unroll_d == 0
+
     # ---- full encode: ME + residual transform + entropy, one program ----
-    @jax.jit
-    def encode_full(gd):
-        planes, mvs = codec._gop_encode_batch(gd)
-        lanes = rans_mod.block_lanes(planes.reshape(-1, h, w, 3), b, s_streams)
-        words, nw, st, counts = rans_mod.jax_encode_grouped(
-            lanes, fg_j, cg_j, unroll=unroll_e, with_counts=True)
-        return planes, mvs, words, nw, st, counts
+    # (grid layout on TPU: the Pallas raw encode kernel's (L, S) grid is
+    # the device-resident codestream — see ops/pallas/rans_decode.py
+    # pallas_decode_grouped_grid; wire bytes counted via finish pass)
+    if use_grid:
+        from vcf_tpu.ops.pallas import rans_encode as re_
 
-    @jax.jit
-    def encode_reps(reps, gd):
-        def body(i, acc):
-            planes, mvs, words, nw, st, counts = encode_full(
-                jnp.roll(gd, i, axis=0))
-            # consume words so the compaction pass cannot be DCE'd
-            return acc + nw + st[0].astype(jnp.int32) \
-                + mvs[0, 0, 0, 0, 0].astype(jnp.int32) \
-                + jnp.sum(words[:8].astype(jnp.int32))
-        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+        @jax.jit
+        def encode_full(gd):
+            planes, mvs = codec._gop_encode_batch(gd)
+            lanes = rans_mod.block_lanes(
+                planes.reshape(-1, h, w, 3), b, s_streams)
+            le, st = re_.pallas_encode_grouped_raw(
+                lanes, fg_j, cg_j, unroll=unroll_d, sg=sg)
+            return planes, mvs, le, st
 
-    planes, mvs, words, nw, st, counts = encode_full(gops_dev)
-    nw_i = int(nw)
-    counts_h = np.asarray(counts)
+        @jax.jit
+        def encode_reps(reps, gd):
+            def body(i, acc):
+                planes, mvs, le, st = encode_full(jnp.roll(gd, i, axis=0))
+                return acc + le[0, 0] + le[l_steps - 1, 1] \
+                    + st[0].astype(jnp.int32) \
+                    + mvs[0, 0, 0, 0, 0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        planes, mvs, le_dev, st = encode_full(gops_dev)
+        words, nw, counts = re_.finish_stream_pallas(le_dev)
+        nw_i = int(nw)
+        counts_h = np.asarray(counts)
+    else:
+        @jax.jit
+        def encode_full(gd):
+            planes, mvs = codec._gop_encode_batch(gd)
+            lanes = rans_mod.block_lanes(
+                planes.reshape(-1, h, w, 3), b, s_streams)
+            words, nw, st, counts = rans_mod.jax_encode_grouped(
+                lanes, fg_j, cg_j, unroll=unroll_e, with_counts=True)
+            return planes, mvs, words, nw, st, counts
+
+        @jax.jit
+        def encode_reps(reps, gd):
+            def body(i, acc):
+                planes, mvs, words, nw, st, counts = encode_full(
+                    jnp.roll(gd, i, axis=0))
+                # consume words so the compaction pass cannot be DCE'd
+                return acc + nw + st[0].astype(jnp.int32) \
+                    + mvs[0, 0, 0, 0, 0].astype(jnp.int32) \
+                    + jnp.sum(words[:8].astype(jnp.int32))
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        planes, mvs, words, nw, st, counts = encode_full(gops_dev)
+        nw_i = int(nw)
+        counts_h = np.asarray(counts)
+
     cap = sg * max(1, -(-int(counts_h.max()) // sg))
     cap = min(cap, s_streams)
     wpad = jnp.concatenate(
-        [words[:nw_i], jnp.zeros(cap + s_streams + 16, jnp.uint16)])
+        [jnp.asarray(words)[:nw_i],
+         jnp.zeros(cap + s_streams + 16, jnp.uint16)])
     mvs_dev = jnp.asarray(mvs)
-    counts_dev = jnp.asarray(counts_h.astype(np.int32))
-
-    use_pallas = jax.default_backend() == "tpu" and sg % 128 == 0
+    counts_dev = jnp.asarray(np.asarray(counts_h).astype(np.int32))
 
     # ---- full decode: entropy + unlane + GOP reconstruction -------------
-    @jax.jit
-    def decode_full(wp, cts, stt, mv):
+    def dec_lanes(wp, cts, stt, le):
+        if use_grid:
+            from vcf_tpu.ops.pallas import rans_decode as rd
+
+            return rd.pallas_decode_grouped_grid(
+                le, stt, fg_j, cg_j, l_steps, unroll=unroll_d, sg=sg)
         if use_pallas:
             from vcf_tpu.ops.pallas import rans_decode as rd
 
             win = rd.build_windows(wp, cts, cap)
-            lanes = rd.pallas_decode_grouped(
+            return rd.pallas_decode_grouped(
                 win, stt, fg_j, cg_j, l_steps, cap, unroll=unroll_d, sg=sg)
-        else:
-            lanes = rans_mod.jax_decode_hier(
-                wp, jnp.int32(0), stt, fg_j, cg_j, l_steps, unroll=unroll_d)
+        return rans_mod.jax_decode_hier(
+            wp, jnp.int32(0), stt, fg_j, cg_j, l_steps, unroll=unroll_d)
+
+    le_arg = le_dev if use_grid else jnp.zeros((1, 1), jnp.int32)
+
+    @jax.jit
+    def decode_full(wp, cts, stt, mv, le):
+        lanes = dec_lanes(wp, cts, stt, le)
         planes_d = rans_mod.block_unlanes(
             lanes, b, (n_frames, h, w, 3)).reshape(-1, gop, h, w, 3)
         recs = codec._gop_decode_batch(planes_d, mv)
         return jnp.clip(recs, 0, 255).astype(jnp.uint8)
 
     @jax.jit
-    def decode_reps(reps, wp, cts, stt, mv):
+    def decode_reps(reps, wp, cts, stt, mv, le):
         def body(i, acc):
             # i-dependent state perturbation so XLA cannot hoist the
             # loop-invariant decode (timing only; the checked
             # reconstruction uses decode_full directly)
             stt_i = stt ^ (i.astype(jnp.uint32) & jnp.uint32(1))
-            rec = decode_full(wp, cts, stt_i, mv)
+            rec = decode_full(wp, cts, stt_i, mv, le)
             return acc + rec[0, 0, 0, 0, 0].astype(jnp.int32)
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
@@ -131,9 +173,9 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
         return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
     t_enc = timed(encode_reps, gops_dev)
-    t_dec = timed(decode_reps, wpad, counts_dev, st, mvs_dev)
+    t_dec = timed(decode_reps, wpad, counts_dev, st, mvs_dev, le_arg)
 
-    rec = np.asarray(decode_full(wpad, counts_dev, st, mvs_dev))
+    rec = np.asarray(decode_full(wpad, counts_dev, st, mvs_dev, le_arg))
     rec = rec.reshape(n_frames, h, w, 3)
     rmse = float(np.sqrt(np.mean(
         (rec[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
@@ -155,6 +197,7 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
             "rmse": round(rmse, 3), "bpp": round(bpp, 4),
             "frames": n_frames, "gop": gop, "hw": [h, w],
             "pallas_decode": bool(use_pallas),
+            "layout": "lane-grid" if use_grid else "compact-stream",
             "entropy": "grouped-rans(device)",
             "timing": "per-rep via in-dispatch fori_loop, RTT-subtracted",
         },

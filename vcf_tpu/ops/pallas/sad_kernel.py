@@ -113,22 +113,28 @@ def sad_search(ref_luma: jnp.ndarray, cur_luma: jnp.ndarray, m: int, s: int,
 # ---------------------------------------------------------------------------
 
 def _sad_tile_kernel(cur_ref, refp_ref, pv_ref, ph_ref, o_ref, *, s: int,
-                     interpret: bool):
-    d = pl.program_id(1)
+                     nby_t: int, interpret: bool):
+    """Grid (tile, dy); the dx sweep runs INSIDE the kernel (one
+    column roll per iteration) — 2s+1 fewer grid steps and the tile's
+    slabs stay register/VMEM-hot across the whole row of
+    displacements."""
+    dy = pl.program_id(1)
     n_side = 2 * s + 1
-    dy = d // n_side
-    dx = d % n_side
     r = refp_ref[0]                     # (THP, W2): tile + s halo rows
     thp, w2 = r.shape
     roll = jnp.roll if interpret else pltpu.roll
     # align halo row dy with tile row 0: out[y] = in[(y + dy) % thp];
-    # y < TH never wraps because THP >= TH + 2s, and rows >= TH are
-    # zero in the pooling matrix
-    r = roll(r, thp - dy, 0)
-    r = roll(r, w2 - dx, 1)
-    diff = jnp.abs(cur_ref[0] - r[:cur_ref.shape[1]])
-    row_sum = jnp.dot(pv_ref[:], diff, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = jnp.dot(row_sum, ph_ref[:], preferred_element_type=jnp.float32)
+    # y < TH never wraps because THP >= TH + 2s, and rows >= TH never
+    # enter the diff
+    r = roll(r, thp - dy, 0)[:cur_ref.shape[1]]
+    cur = cur_ref[0]
+    for dx in range(n_side):
+        rx = r if dx == 0 else roll(r, w2 - dx, 1)
+        diff = jnp.abs(cur - rx)
+        row_sum = jnp.dot(pv_ref[:], diff,
+                          preferred_element_type=jnp.float32)
+        o_ref[0, 0, dx * nby_t:(dx + 1) * nby_t, :] = jnp.dot(
+            row_sum, ph_ref[:], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "s", "tile_h", "interpret"))
@@ -175,10 +181,11 @@ def sad_search_tiled(ref_luma: jnp.ndarray, cur_luma: jnp.ndarray, m: int,
     pool_h = np.zeros((w2, nbx), np.float32)
     for bx in range(nbx):
         pool_h[bx * m:(bx + 1) * m, bx] = 1.0
-    kernel = functools.partial(_sad_tile_kernel, s=s, interpret=interpret)
+    kernel = functools.partial(_sad_tile_kernel, s=s, nby_t=nby_t,
+                               interpret=interpret)
     sads = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_disp),
+        grid=(n_tiles, n_side),
         in_specs=[
             pl.BlockSpec((1, th, w2), lambda t, d: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -189,15 +196,18 @@ def sad_search_tiled(ref_luma: jnp.ndarray, cur_luma: jnp.ndarray, m: int,
             pl.BlockSpec((w2, nbx), lambda t, d: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, nby_t, nbx), lambda t, d: (t, d, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, n_side * nby_t, nbx),
+                               lambda t, d: (t, d, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_disp, nby_t, nbx),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_side, n_side * nby_t, nbx),
                                        jnp.float32),
         interpret=interpret,
     )(cur_pad, slabs, jnp.asarray(pool_v), jnp.asarray(pool_h))
 
-    # (T, D, nby_t, nbx) -> (D, T*nby_t, nbx)
-    sads = sads.transpose(1, 0, 2, 3).reshape(n_disp, n_tiles * nby_t, nbx)
+    # (T, dy, dx*nby_t, nbx) -> (D, T*nby_t, nbx)
+    sads = sads.reshape(n_tiles, n_side, n_side, nby_t, nbx)
+    sads = sads.transpose(1, 2, 0, 3, 4).reshape(
+        n_disp, n_tiles * nby_t, nbx)
     disp = jnp.stack(
         jnp.meshgrid(jnp.arange(-s, s + 1), jnp.arange(-s, s + 1), indexing="ij"),
         axis=-1,

@@ -277,14 +277,78 @@ def main():
     use_grid = (jax.default_backend() == "tpu" and sg_lanes % 128 == 0)
 
     def run_grid():
+        from vcf_tpu.ops import color as color_ops
         from vcf_tpu.ops.pallas import rans_decode as rd
         from vcf_tpu.ops.pallas import rans_encode as re_
+        from vcf_tpu.ops.pallas import (
+            fused_dct_quantize,
+            fused_dequantize_idct,
+        )
+
+        # PLANAR pipeline (opt-in, BENCH_PLANAR=1): everything stays
+        # (N, 3, H, W) between the frame transposes at the edges — the
+        # (H, W, 3)-layout hops of the per-frame path measured 29.6 ms
+        # vs 12.9 ms planar for the decode tail (channel-minor
+        # transposes + color in 3-minor layout).  Bitwise-equal planes:
+        # same f32 HIGHEST 3-term color dot, same fused DCT kernel,
+        # same lane order.  OPT-IN because the composed planar bench
+        # hung the axon remote compiler twice (r3; the probe graphs
+        # compile and run fine in isolation — chase next round).
+        m_fwd = jnp.asarray(np.asarray(color_ops.YCOCG_FWD, np.float32))
+        m_inv = jnp.asarray(np.asarray(color_ops.YCOCG_INV, np.float32))
+        g_g = b * b
+
+        def lanes_planar(planes):           # (N, 3, H, W) u8 -> (S, L)
+            blk = planes.reshape(n_frames, 3, h // b, b, w // b, b)
+            sb = blk.transpose(3, 5, 0, 2, 4, 1).reshape(g_g, -1)
+            l = sb.shape[1] // (s_streams // g_g)
+            return sb.reshape(g_g, l, s_streams // g_g) \
+                .transpose(0, 2, 1).reshape(s_streams, l)
+
+        def unlanes_planar(syms):           # (S, L) -> (N, 3, H, W) u8
+            sgl = s_streams // g_g
+            sb = syms.reshape(g_g, sgl, l_steps) \
+                .transpose(0, 2, 1).reshape(g_g, -1)
+            blk = sb.reshape(b, b, n_frames, h // b, w // b, 3)
+            return blk.transpose(2, 5, 3, 0, 4, 1).reshape(
+                n_frames, 3, h, w)
+
+        def enc_planar(fd):                 # (N, H, W, 3) u8 -> (S, L)
+            xp = fd.transpose(0, 3, 1, 2).astype(jnp.float32) - 128.0
+            ct = jnp.einsum("dc,nchw->ndhw", m_fwd, xp,
+                            precision=jax.lax.Precision.HIGHEST)
+            planes = jax.vmap(lambda q: fused_dct_quantize(
+                q, b=b, qss=cfg.qss, offset=128))(ct)
+            return lanes_planar(planes)
+
+        def dec_planar(lanes):              # (S, L) -> (N, H, W, 3) u8
+            planes = unlanes_planar(lanes)
+            ct = jax.vmap(lambda q: fused_dequantize_idct(
+                q, b=b, qss=cfg.qss, offset=128))(planes)
+            y = jnp.einsum("dc,nchw->ndhw", m_inv, ct,
+                           precision=jax.lax.Precision.HIGHEST) + 128.0
+            return jnp.clip(jnp.round(y), 0, 255).astype(
+                jnp.uint8).transpose(0, 2, 3, 1)
+
+        use_planar = (cfg.color == "ycocg" and cfg.use_pallas
+                      and jax.default_backend() == "tpu"
+                      and os.environ.get("BENCH_PLANAR", "0") == "1")
+
+        def make_lanes(fd):
+            if use_planar:
+                return enc_planar(fd)
+            return rans_mod.block_lanes(enc_tb(fd), b, s_streams)
+
+        def make_frames(lanes):
+            if use_planar:
+                return dec_planar(lanes)
+            return dec_tb(rans_mod.block_unlanes(
+                lanes, b, (n_frames, h, w, 3)))
 
         @jax.jit
         def encode_grid_reps(reps, fd):
             def body(i, acc):
-                planes = enc_tb(jnp.roll(fd, i, axis=0))
-                lanes = rans_mod.block_lanes(planes, b, s_streams)
+                lanes = make_lanes(jnp.roll(fd, i, axis=0))
                 le, st = re_.pallas_encode_grouped_raw(
                     lanes, fg_j, cg_j, unroll=unroll_g, sg=sg_lanes)
                 return acc + le[0, 0] + le[l_steps - 1, 1] \
@@ -293,8 +357,7 @@ def main():
 
         @jax.jit
         def encode_grid(fd):
-            planes = enc_tb(fd)
-            lanes = rans_mod.block_lanes(planes, b, s_streams)
+            lanes = make_lanes(fd)
             return re_.pallas_encode_grouped_raw(
                 lanes, fg_j, cg_j, unroll=unroll_g, sg=sg_lanes)
 
@@ -305,9 +368,7 @@ def main():
                 lanes = rd.pallas_decode_grouped_grid(
                     le, st_i, fg_j, cg_j, l_steps, unroll=unroll_g,
                     sg=sg_lanes)
-                planes = rans_mod.block_unlanes(
-                    lanes, b, (n_frames, h, w, 3))
-                rec = dec_tb(planes)
+                rec = make_frames(lanes)
                 return acc + rec[0, 0, 0, 0].astype(jnp.int32)
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
@@ -315,8 +376,7 @@ def main():
         def decode_grid(le, st):
             lanes = rd.pallas_decode_grouped_grid(
                 le, st, fg_j, cg_j, l_steps, unroll=unroll_g, sg=sg_lanes)
-            return dec_tb(rans_mod.block_unlanes(
-                lanes, b, (n_frames, h, w, 3)))
+            return make_frames(lanes)
 
         @jax.jit
         def stitch_reps(reps, le):
@@ -345,6 +405,7 @@ def main():
             "bpp": round((2 * gnw_i + side_g) * 8 / (n_frames * h * w), 4),
             "layout": "lane-grid in HBM; bpp counts the compact wire "
                       "bytes (stitch measured separately)",
+            "planar": bool(use_planar),
             "wire_stitch_s": round(t_wire, 4),
             "wire_gbps": round(
                 frames.nbytes / (t_enc_g + t_wire + t_dec_g) / 1e9, 4),

@@ -94,6 +94,43 @@ class TestDCT:
         rec = dct.perceptual_scale(y, 8, inverse=True)
         np.testing.assert_allclose(np.asarray(rec), np.asarray(x), rtol=1e-5)
 
+    def test_resamplers_pinned_to_cv2_goldens(self):
+        """VERDICT r3 #9: the pure-numpy table resamplers are pinned
+        against stored cv2.resize outputs (tests/golden/
+        cv2_resize_tables.npz): area bit-exact, linear within ±1 of the
+        IPP-dispatched cv2 build that generated the vectors."""
+        import pathlib
+
+        golden = np.load(
+            pathlib.Path(__file__).parent / "golden" / "cv2_resize_tables.npz"
+        )
+        tables = {"luma": dct.JPEG_LUMA_QT.astype(np.uint8),
+                  "chroma": dct.JPEG_CHROMA_QT.astype(np.uint8)}
+        for b in (2, 3, 4, 5, 6, 7):
+            for tag, src in tables.items():
+                np.testing.assert_array_equal(
+                    dct.resize_area_u8(src, b), golden[f"area_{tag}_{b}"],
+                    err_msg=f"area b={b} {tag}",
+                )
+        for b in (9, 16, 32):
+            for tag, src in tables.items():
+                diff = np.abs(
+                    dct.resize_linear_u8(src, b).astype(int)
+                    - golden[f"linear_{tag}_{b}"].astype(int)
+                )
+                assert diff.max() <= 1, f"linear b={b} {tag}: {diff.max()}"
+
+    def test_perceptual_tables_no_cv2(self):
+        import sys
+
+        for b in (2, 4, 8, 16, 32):
+            dct.perceptual_tables.__wrapped__(b)
+        import vcf_tpu.ops.dct as m
+
+        assert "cv2" not in m.__dict__  # no module-level cv2
+        src = open(m.__file__).read()
+        assert "import cv2" not in src
+
 
 class TestDeadzone:
     def test_trunc_toward_zero(self):

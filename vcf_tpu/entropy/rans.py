@@ -1059,12 +1059,12 @@ class GroupedRANSCodec(EntropyCodec):
     def _decode_lanes(self, words, states, freqs_g, cums_g, s_streams, l,
                       counts):
         """Pallas whole-scan decode on TPU when the lane grid tiles
-        (sg % 128 == 0, counts sidecar present, unroll divides l);
-        bit-identical XLA scan otherwise."""
+        (sg % 128 == 0, counts sidecar present); bit-identical XLA scan
+        otherwise."""
         g = self.b * self.b
         sg = s_streams // g
         if (counts is not None and jax.default_backend() == "tpu"
-                and sg % 128 == 0 and l % _pick_unroll(l) == 0):
+                and sg % 128 == 0):
             from vcf_tpu.ops.pallas import rans_decode as _rd
 
             cap = sg * max(1, -(-int(counts.max()) // sg))

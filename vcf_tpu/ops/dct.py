@@ -148,21 +148,96 @@ JPEG_CHROMA_QT = np.array(
 )
 
 
+def _linear_coeffs(dst_n: int, src_n: int):
+    """Half-pixel-center bilinear taps with 11-bit fixed-point weights
+    (the standard imaging fixed-point convention; border clamp)."""
+    scale = src_n / dst_n
+    idx = np.empty(dst_n, np.int64)
+    a0 = np.empty(dst_n, np.int64)
+    for x in range(dst_n):
+        fx = (x + 0.5) * scale - 0.5
+        s = int(np.floor(fx))
+        f = fx - s
+        if s < 0:
+            s, f = 0, 0.0
+        if s >= src_n - 1:
+            s, f = src_n - 2, 1.0
+        idx[x] = s
+        a0[x] = int(np.rint((1.0 - f) * 2048.0))
+    return idx, a0
+
+
+def resize_linear_u8(src: np.ndarray, b: int) -> np.ndarray:
+    """uint8 bilinear resize to (b, b), 22-bit fixed-point accumulate.
+
+    Matches cv2.resize(..., INTER_LINEAR) to within ±1 on half-integer
+    cases (cv2 dispatches to IPP whose internal rounding is not
+    specified); pinned against stored cv2 vectors in
+    tests/test_dct.py."""
+    sh, sw = src.shape
+    xs, ax = _linear_coeffs(b, sw)
+    ys, ay = _linear_coeffs(b, sh)
+    s = src.astype(np.int64)
+    h = s[:, xs] * ax[None, :] + s[:, xs + 1] * (2048 - ax[None, :])
+    out = (h[ys, :] * ay[:, None] + h[ys + 1, :] * (2048 - ay[:, None])
+           + (1 << 21)) >> 22
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _area_tab(dst_n: int, src_n: int):
+    """1-D area-decimation table [(dst, src, w)] with float32 weights
+    (partial-cell coverage / scale), the cv2 generic-area layout."""
+    scale = src_n / dst_n
+    cell = np.float32(1.0 / scale)
+    tab = []
+    for dx in range(dst_n):
+        f1 = dx * scale
+        f2 = f1 + scale
+        s1, s2 = int(np.ceil(f1)), int(np.floor(f2))
+        if s1 - f1 > 1e-3:
+            tab.append((dx, s1 - 1, np.float32((s1 - f1) / scale)))
+        for sx in range(s1, s2):
+            tab.append((dx, sx, cell))
+        if f2 - s2 > 1e-3:
+            tab.append((dx, s2, np.float32((f2 - s2) / scale)))
+    return tab
+
+
+def resize_area_u8(src: np.ndarray, b: int) -> np.ndarray:
+    """uint8 area-average downscale to (b, b), bit-exact to
+    cv2.resize(..., INTER_AREA) for the 8x8 JPEG tables (integer-ratio
+    fast path: (sum + area/2) // area; generic path: float32 separable
+    weights, round-half-even) — pinned in tests/test_dct.py."""
+    sh, sw = src.shape
+    ry, rx = sh / b, sw / b
+    if ry == int(ry) and rx == int(rx):
+        iy, ix = int(ry), int(rx)
+        area = iy * ix
+        s = src.astype(np.int64).reshape(b, iy, b, ix).sum((1, 3))
+        return ((s + area // 2) // area).astype(np.uint8)
+    hbuf = np.zeros((sh, b), np.float32)
+    for dx, sx, w in _area_tab(b, sw):
+        hbuf[:, dx] += src[:, sx].astype(np.float32) * w
+    out = np.zeros((b, b), np.float32)
+    for dy, sy, w in _area_tab(b, sh):
+        out[dy, :] += hbuf[sy, :] * w
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 @functools.lru_cache(maxsize=None)
 def perceptual_tables(b: int):
-    """(luma, chroma) BxB scale tables in [~0.08, 1].  The reference resizes
-    the uint8 JPEG tables with cv2 (INTER_AREA if b<8 else INTER_LINEAR) and
-    divides by the max entry (121 luma / 99 chroma); we reproduce the resize
-    with an equivalent area/bilinear resampler to avoid a cv2 dependency on
-    the device path."""
-    import cv2  # available in this environment; host-side, cached
-
-    inter = cv2.INTER_AREA if b < 8 else cv2.INTER_LINEAR
-    luma = cv2.resize(JPEG_LUMA_QT.astype(np.uint8), (b, b), interpolation=inter)
-    chroma = cv2.resize(JPEG_CHROMA_QT.astype(np.uint8), (b, b), interpolation=inter)
-    luma = luma.astype(np.float32) / 121.0
-    chroma = chroma.astype(np.float32) / 99.0
-    return luma, chroma
+    """(luma, chroma) BxB scale tables in [~0.08, 1].  The reference
+    resizes the uint8 JPEG tables with cv2 (INTER_AREA if b<8 else
+    INTER_LINEAR, src/2D-DCT.py:63-90) and divides by the max entry
+    (121 luma / 99 chroma); the resize is reproduced by the pure-numpy
+    resamplers above — no cv2 dependency anywhere in ops/."""
+    if b < 8:
+        luma = resize_area_u8(JPEG_LUMA_QT.astype(np.uint8), b)
+        chroma = resize_area_u8(JPEG_CHROMA_QT.astype(np.uint8), b)
+    else:
+        luma = resize_linear_u8(JPEG_LUMA_QT.astype(np.uint8), b)
+        chroma = resize_linear_u8(JPEG_CHROMA_QT.astype(np.uint8), b)
+    return luma.astype(np.float32) / 121.0, chroma.astype(np.float32) / 99.0
 
 
 def perceptual_scale(coeff: jnp.ndarray, b: int, inverse: bool = False) -> jnp.ndarray:

@@ -14,7 +14,27 @@ environment, so the filter banks are constructed from scratch:
   spectral factorization of the Daubechies polynomial (minimum phase);
   validated by orthonormality and vanishing-moment tests
   (tests/test_dwt.py).
-* `bior2.2` / `legall53` — the CDF 5/3 (JPEG2000) biorthogonal pair.
+* `symN` (Symlets, N=2..10) — same half-band polynomial, spectral
+  factors chosen per conjugate-pair group to minimize phase
+  nonlinearity (near-linear phase); sym4 reproduces the published
+  coefficients exactly (reflection convention may differ from pywt,
+  which leaves the transform equivalent).
+* `coifN` (Coiflets, N=1..5) — coif1 in closed form
+  ((1-√7, 5+√7, 14+2√7, 14-2√7, 1-√7, -3+√7)·√2/32); higher orders by
+  Newton/least-squares on the defining system (orthonormality + 2N
+  wavelet moments + 2N-1 scaling moments) with continuation from
+  coif(N-1); coif2 reproduces the published coefficients to 1e-15.
+* `biorN.M` / `rbioN.M` (CDF spline biorthogonal family, the pywt
+  grid: 1.1/1.3/1.5, 2.2/2.4/2.6/2.8, 3.1..3.9, 4.4, 5.5, 6.8) —
+  closed-form spline construction (rec_lo = B-spline(N), dec_lo =
+  complementary factor with M vanishing moments via the Bezout
+  polynomial); `bior4.4` is the CDF 9/7 (JPEG2000 irrational) pair by
+  splitting the q=4 Bezout polynomial's real root to synthesis and the
+  complex pair to analysis, matching pywt.  Periodization phases are
+  auto-calibrated at bank build time by an exhaustive PR search and
+  verified to 1e-8 (`_calibrate`).
+* `bior2.2` / `legall53` keep the original hand-derived CDF 5/3 bank
+  (sign convention pinned by existing tests).
 
 Boundary handling is periodization: subband sizes halve exactly at
 every level and all shapes stay static under jit.  Analysis is
@@ -29,7 +49,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -88,6 +108,256 @@ class Bank:
 
 
 @functools.lru_cache(maxsize=None)
+def symlet_lowpass(p: int) -> np.ndarray:
+    """Near-linear-phase orthonormal lowpass (Symlet) of order p.
+
+    Same Daubechies half-band polynomial as `daubechies_lowpass`, but
+    the spectral factor is chosen per conjugate-root-pair group (root
+    inside vs outside the unit circle) to minimize the filter's
+    deviation from linear phase — the Symlet selection rule.
+    """
+    if p < 2:
+        return daubechies_lowpass(max(p, 1))
+    import itertools
+
+    coeffs = [math.comb(p - 1 + k, k) for k in range(p)]
+    yroots = np.roots(coeffs[::-1])
+    zin = []
+    for y in yroots:
+        bq = 2.0 - 4.0 * y
+        disc = np.sqrt(bq * bq - 4.0 + 0j)
+        z1, z2 = (bq + disc) / 2.0, (bq - disc) / 2.0
+        zin.append(z1 if abs(z1) < 1.0 else z2)
+    # group real roots singly, complex conjugate pairs jointly (a real
+    # filter needs both members flipped together)
+    groups, used = [], [False] * len(zin)
+    for i, z in enumerate(zin):
+        if used[i]:
+            continue
+        if abs(z.imag) < 1e-9:
+            groups.append([i])
+            used[i] = True
+        else:
+            for j in range(i + 1, len(zin)):
+                if not used[j] and abs(zin[j] - np.conj(z)) < 1e-7:
+                    groups.append([i, j])
+                    used[i] = used[j] = True
+                    break
+            else:  # pragma: no cover - defensive
+                groups.append([i])
+                used[i] = True
+
+    def build(zsel):
+        poly = np.array([1.0 + 0j])
+        for _ in range(p):
+            poly = np.convolve(poly, [1.0, 1.0])
+        for zk in zsel:
+            poly = np.convolve(poly, [1.0, -zk])
+        h = np.real(poly)
+        h *= math.sqrt(2.0) / h.sum()
+        return h
+
+    w = np.linspace(0.01, np.pi * 0.8, 256)
+    ns = np.arange(2 * p)
+
+    def phase_dev(h):
+        resp = np.exp(-1j * np.outer(w, ns)) @ h
+        ph = np.unwrap(np.angle(resp))
+        a = np.vstack([w, np.ones_like(w)]).T
+        sol, *_ = np.linalg.lstsq(a, ph, rcond=None)
+        return float(np.sum((ph - a @ sol) ** 2))
+
+    best = None
+    for sel in itertools.product([0, 1], repeat=len(groups)):
+        zs = []
+        for grp, s in zip(groups, sel):
+            for i in grp:
+                z = zin[i]
+                zs.append(z if s == 0 else 1.0 / np.conj(z))
+        h = build(zs)
+        d = phase_dev(h)
+        if best is None or d < best[0]:
+            best = (d, h)
+    return best[1]
+
+
+@functools.lru_cache(maxsize=None)
+def coiflet_lowpass(n: int) -> np.ndarray:
+    """Coiflet-n lowpass, length 6n, support indices [-2n, 4n-1].
+
+    coif1 is the closed form √2/32·(1-√7, 5+√7, 14+2√7, 14-2√7, 1-√7,
+    -3+√7); higher orders solve the defining system (orthonormality,
+    2n vanishing wavelet moments, 2n-1 vanishing scaling-function
+    moments, Σh=√2) by damped least-squares continuation from
+    coif(n-1).  coif2 matches the published table to ~1e-15.
+    """
+    s7 = math.sqrt(7.0)
+    h = np.array([1 - s7, 5 + s7, 14 + 2 * s7, 14 - 2 * s7, 1 - s7, -3 + s7])
+    h = h * (math.sqrt(2.0) / 32.0)
+    if n == 1:
+        return h
+    if not 1 < n <= 5:
+        raise ValueError(f"coiflet order {n} not supported (1..5)")
+    from scipy.optimize import least_squares
+
+    for order in range(2, n + 1):
+        length = 6 * order
+        idx = np.arange(-2 * order, 4 * order).astype(float)
+
+        def resid(hh, length=length, idx=idx, order=order):
+            r = []
+            for k in range(3 * order):
+                r.append(np.sum(hh[: length - 2 * k] * hh[2 * k:])
+                         - (1.0 if k == 0 else 0.0))
+            sgn = (-1.0) ** np.arange(length)
+            for j in range(2 * order):
+                r.append(np.sum(sgn * idx ** j * hh))
+            r.append(np.sum(hh) - math.sqrt(2.0))
+            for j in range(1, 2 * order):
+                r.append(np.sum(idx ** j * hh))
+            return np.array(r)
+
+        seed = np.zeros(length)
+        seed[2: 2 + len(h)] = h
+        sol = least_squares(resid, seed, xtol=3e-16, ftol=3e-16,
+                            gtol=3e-16, method="lm")
+        if np.abs(resid(sol.x)).max() > 1e-9:  # pragma: no cover
+            raise RuntimeError(f"coif{order} solve did not converge")
+        h = sol.x
+    return h
+
+
+# -- biorthogonal spline family --------------------------------------------
+
+def _bezout_poly(q: int) -> list:
+    """Coefficients C(q-1+k, k), k = 0..q-1, of the Bezout half-band
+    polynomial P(y) = Σ C(q-1+k,k) y^k (Daubechies construction)."""
+    return [float(math.comb(q - 1 + k, k)) for k in range(q)]
+
+
+def _poly_in_sin2(coeffs: Sequence[float]) -> np.ndarray:
+    """Expand Σ c_k sin^{2k}(ω/2) into a centered Laurent filter."""
+    s = np.array([-1.0, 2.0, -1.0]) / 4.0  # sin²(ω/2) as (z^-1, 1, z)
+    deg = len(coeffs) - 1
+    out = np.zeros(2 * deg + 1)
+    for k, ck in enumerate(coeffs):
+        term = np.array([ck])
+        for _ in range(k):
+            term = np.convolve(term, s)
+        off = (len(out) - len(term)) // 2
+        out[off: off + len(term)] += term
+    return out
+
+
+def spline_bior_filters(nr: int, nd: int):
+    """CDF spline biorthogonal pair biorNr.Nd: rec_lo = B-spline(nr),
+    dec_lo = complementary factor with nd vanishing moments (closed
+    form; reference capability src/2D-DWT.py:22-32 via pywt)."""
+    if (nr + nd) % 2:
+        raise ValueError("bior orders must have equal parity")
+    s2 = math.sqrt(2.0)
+    rec_lo = np.array([math.comb(nr, k) for k in range(nr + 1)], float)
+    rec_lo *= s2 / 2.0 ** nr
+    c = np.array([1.0, 2.0, 1.0]) / 4.0  # cos²(ω/2)
+    if nr % 2 == 0:
+        a, b = nr // 2, nd // 2
+        dec_lo = _poly_in_sin2(_bezout_poly(a + b))
+    else:
+        a, b = (nr - 1) // 2, (nd - 1) // 2
+        dec_lo = np.convolve(
+            _poly_in_sin2(_bezout_poly(a + b + 1)), np.array([1.0, 1.0]) / 2.0
+        )
+    for _ in range(b):
+        dec_lo = np.convolve(dec_lo, c)
+    dec_lo = dec_lo * s2
+    alt = lambda f: np.array([(-1.0) ** k for k in range(len(f))]) * f[::-1]
+    return dec_lo, alt(rec_lo), rec_lo, alt(dec_lo)
+
+
+def cdf97_filters():
+    """CDF 9/7 (JPEG2000 irrational) pair — pywt's `bior4.4`.
+
+    Same q=4 Bezout polynomial as the spline 4.4, but factored: the
+    real root goes to synthesis, the complex pair to analysis; both
+    sides keep a (cos²)² spline factor.
+    """
+    p = _bezout_poly(4)  # 1 + 4y + 10y² + 20y³
+    roots = np.roots(p[::-1])
+    real = [r for r in roots if abs(r.imag) < 1e-9]
+    cplx = [r for r in roots if abs(r.imag) >= 1e-9]
+    # B(y) = 1 - y/r₁ (real root → synthesis); A(y) = Π(1 - y/rᵢ) over
+    # the complex pair (→ analysis).  A(0)=B(0)=1 ⇒ A·B = P exactly.
+    b_coeffs = [1.0, -1.0 / real[0].real]  # ascending powers of y
+    a_coeffs = np.real(
+        np.convolve([1.0, -1.0 / cplx[0]], [1.0, -1.0 / cplx[1]])
+    )
+    s2 = math.sqrt(2.0)
+    c = np.array([1.0, 2.0, 1.0]) / 4.0
+    dec_lo = _poly_in_sin2(a_coeffs)
+    rec_lo = _poly_in_sin2(b_coeffs)
+    for _ in range(2):
+        dec_lo = np.convolve(dec_lo, c)
+        rec_lo = np.convolve(rec_lo, c)
+    dec_lo, rec_lo = dec_lo * s2, rec_lo * s2
+    alt = lambda f: np.array([(-1.0) ** k for k in range(len(f))]) * f[::-1]
+    return dec_lo, alt(rec_lo), rec_lo, alt(dec_lo)
+
+
+# -- periodization-phase auto-calibration ----------------------------------
+
+def _np_down(x, f, shift):
+    z = np.zeros_like(x)
+    for j, fj in enumerate(f):
+        z = z + np.roll(x, -(j + shift)) * fj
+    return z[::2]
+
+
+def _np_up(a, f, phase, n):
+    up = np.zeros(n)
+    up[::2] = a
+    y = np.zeros(n)
+    for j, fj in enumerate(f):
+        y = y + np.roll(up, j + phase) * fj
+    return y
+
+
+def _calibrate(dec_lo, dec_hi, rec_lo, rec_hi, name: str) -> Bank:
+    """Find periodization shifts/phases giving exact PR (≤1e-8 on a
+    random signal); the highpass synthesis sign is folded into rec_hi."""
+    rng = np.random.default_rng(42)
+    n = 64
+    x = rng.normal(size=n)
+    lmax = max(len(dec_lo), len(dec_hi), len(rec_lo), len(rec_hi))
+    r = range(-(lmax + 2), lmax + 3)
+    cl, ch = -(len(dec_lo) // 2), -(len(dec_hi) // 2)
+    for sl in (cl, cl + 1):
+        lo = _np_down(x, dec_lo, sl)
+        for sh in (ch, ch + 1):
+            hi = _np_down(x, dec_hi, sh)
+            for pl in r:
+                ylo = _np_up(lo, rec_lo, pl, n)
+                for sgn in (1.0, -1.0):
+                    for ph in r:
+                        y = ylo + sgn * _np_up(hi, rec_hi, ph, n)
+                        if np.abs(y - x).max() < 1e-8:
+                            return Bank(dec_lo, dec_hi, rec_lo,
+                                        sgn * np.asarray(rec_hi),
+                                        shift_lo=sl, shift_hi=sh,
+                                        phase_lo=pl, phase_hi=ph)
+    raise ValueError(f"no PR phase alignment found for {name!r}")
+
+
+#: the biorthogonal grid pywt ships (reference -w accepts any of these,
+#: src/2D-DWT.py:22-32)
+BIOR_ORDERS = {
+    (1, 1), (1, 3), (1, 5),
+    (2, 2), (2, 4), (2, 6), (2, 8),
+    (3, 1), (3, 3), (3, 5), (3, 7), (3, 9),
+    (4, 4), (5, 5), (6, 8),
+}
+
+
+@functools.lru_cache(maxsize=None)
 def get_bank(name: str) -> Bank:
     if name == "haar":
         name = "db1"
@@ -98,6 +368,14 @@ def get_bank(name: str) -> Bank:
         # orthonormal: synthesis = adjoint of analysis (same filters,
         # zero phases)
         return Bank(h, g, h, g)
+    if name.startswith("sym"):
+        h = symlet_lowpass(int(name[3:]))
+        g = np.array([(-1) ** k for k in range(len(h))]) * h[::-1]
+        return Bank(h, g, h, g)
+    if name.startswith("coif"):
+        h = coiflet_lowpass(int(name[4:]))
+        g = np.array([(-1) ** k for k in range(len(h))]) * h[::-1]
+        return Bank(h, g, h, g)
     if name in ("bior2.2", "legall53"):
         s2 = math.sqrt(2.0)
         dec_lo = np.array([-1, 2, 6, 2, -1], np.float64) / 8.0 * s2
@@ -107,6 +385,23 @@ def get_bank(name: str) -> Bank:
         # PR phases found analytically/numerically (tests/test_dwt.py)
         return Bank(dec_lo, dec_hi, rec_lo, rec_hi,
                     shift_lo=-2, shift_hi=0, phase_lo=-1, phase_hi=-1)
+    if name in ("cdf97", "jpeg2000"):
+        return _calibrate(*cdf97_filters(), name=name)
+    if name.startswith(("bior", "rbio")):
+        try:
+            nr, nd = (int(t) for t in name[4:].split("."))
+        except ValueError:
+            raise ValueError(f"unknown wavelet {name!r}") from None
+        if (nr, nd) not in BIOR_ORDERS:
+            raise ValueError(f"unsupported bior orders {name!r}")
+        if (nr, nd) == (4, 4):
+            filters = cdf97_filters()  # pywt bior4.4 IS the CDF 9/7
+        else:
+            filters = spline_bior_filters(nr, nd)
+        if name.startswith("rbio"):
+            dl, dh, rl, rh = filters
+            filters = (rl, rh, dl, dh)
+        return _calibrate(*filters, name=name)
     raise ValueError(f"unknown wavelet {name!r}")
 
 

@@ -44,6 +44,7 @@ each grid step stores `unroll` symbols PACKED into one int32 lane
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -218,7 +219,7 @@ def _decode_body(x, win_rows, coarse_ref, thl_ref, g, sg, wr,
     win_rows (WR, SG) i32.  Returns (new_x, syms i32 in [0,255])."""
     slot = x & MASK                                # nonneg, < 2^15
     slot_f = slot.astype(jnp.float32)
-    gc = min(gc, g)
+    gc = math.gcd(g, gc)  # always a divisor of g: no short final slice
     parts = [
         _resolve_chunk(slot_f[ci:ci + gc], coarse_ref[ci:ci + gc],
                        thl_ref[ci:ci + gc], gc, sg)
@@ -276,7 +277,7 @@ def _make_grid_kernel(u, g, sg):
         for j in range(u):
             slot = x & MASK
             slot_f = slot.astype(jnp.float32)
-            gc = 16 if g >= 16 else g
+            gc = math.gcd(g, 16)
             parts = [
                 _resolve_chunk(slot_f[ci:ci + gc], coarse_ref[ci:ci + gc],
                                thl_ref[ci:ci + gc], gc, sg)

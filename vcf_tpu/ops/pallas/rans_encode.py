@@ -31,6 +31,7 @@ XLA path):
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -137,7 +138,7 @@ def _encode_body(x, sym, thl_ref, g, sg, gc=8):
     """One encode step on states x (G, SG) i32 (u32 bit pattern) with
     symbols sym (G, SG) i32.  Returns (new_x, word_row i32 (G, SG)
     prefix-compacted, count scalar i32)."""
-    gc = min(gc, g)
+    gc = math.gcd(g, gc)  # always a divisor of g: no short final slice
     parts = [
         _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
         for ci in range(0, g, gc)
@@ -213,7 +214,7 @@ def _make_kernel_raw(u, g, sg):
         x = x_ref[:]
         for j in range(u):
             sym = (sin_ref[0] >> (8 * j)) & 255
-            gc = min(8, g)
+            gc = math.gcd(g, 8)
             parts = [
                 _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
                 for ci in range(0, g, gc)

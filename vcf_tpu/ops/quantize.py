@@ -52,28 +52,33 @@ def lloydmax_levels(qss: int, q_min: int, q_max: int) -> int:
     return max(2, min(n, 256 * 256))
 
 
-def lloydmax_train(
-    x: jnp.ndarray, qss: int, q_min: int, q_max: int, iters: int = 30
-) -> jnp.ndarray:
-    """Train per-channel Lloyd-Max representation levels on device.
+def lloydmax_histogram(x: jnp.ndarray, q_min: int, q_max: int) -> jnp.ndarray:
+    """Per-channel raw counts over the integer support [q_min, q_max].
 
-    x: (..., C) array.  Returns (C, L) float32 levels, sorted ascending.
-
-    The histogram has one bin per integer value in [q_min, q_max] with
-    +1 Laplace smoothing (reference: src/LloydMax.py:96-101); levels are
-    initialized at uniform bin centers and refined by `iters` Lloyd steps
-    computed from the histogram (exact, since the data is integer-valued).
-    """
+    x: (..., C) int-valued array.  Returns (C, V) int32 counts, V = the
+    support size — the training statistic that is psum'd across shards
+    for a shared level set (parallel/dist.allreduce_histogram)."""
     from vcf_tpu.ops.hist import histogram_per_channel
 
-    n_levels = lloydmax_levels(qss, q_min, q_max)
-    support = jnp.arange(q_min, q_max + 1, dtype=jnp.float32)  # (V,)
-    n_vals = support.shape[0]
+    n_vals = q_max - q_min + 1
     c = x.shape[-1]
     flat = x.reshape(-1, c).astype(jnp.int32)
+    return histogram_per_channel(flat - q_min, n_vals)
 
-    # scatter-free histogram (+1 Laplace smoothing, src/LloydMax.py:96-101)
-    hist = histogram_per_channel(flat - q_min, n_vals).astype(jnp.float32) + 1.0
+
+def lloydmax_train_from_hist(
+    hist: jnp.ndarray, qss: int, q_min: int, q_max: int, iters: int = 30
+) -> jnp.ndarray:
+    """Lloyd iterations from a (C, V) raw-count histogram.
+
+    +1 Laplace smoothing is applied here (reference: src/LloydMax.py:
+    96-101), so callers pass raw counts — which makes the statistic
+    additive across shards (psum then train == train on the union).
+    """
+    n_levels = lloydmax_levels(qss, q_min, q_max)
+    support = jnp.arange(q_min, q_max + 1, dtype=jnp.float32)  # (V,)
+    c = hist.shape[0]
+    hist = hist.astype(jnp.float32) + 1.0
 
     # init: uniform spacing over the support
     init = q_min + (jnp.arange(n_levels, dtype=jnp.float32) + 0.5) * (
@@ -97,6 +102,22 @@ def lloydmax_train(
 
     levels = jax.lax.fori_loop(0, iters, lloyd_step, init)
     return levels
+
+
+def lloydmax_train(
+    x: jnp.ndarray, qss: int, q_min: int, q_max: int, iters: int = 30
+) -> jnp.ndarray:
+    """Train per-channel Lloyd-Max representation levels on device.
+
+    x: (..., C) array.  Returns (C, L) float32 levels, sorted ascending.
+
+    The histogram has one bin per integer value in [q_min, q_max] with
+    +1 Laplace smoothing (reference: src/LloydMax.py:96-101); levels are
+    initialized at uniform bin centers and refined by `iters` Lloyd steps
+    computed from the histogram (exact, since the data is integer-valued).
+    """
+    hist = lloydmax_histogram(x, q_min, q_max)
+    return lloydmax_train_from_hist(hist, qss, q_min, q_max, iters)
 
 
 def lloydmax_quantize(x: jnp.ndarray, levels: jnp.ndarray) -> jnp.ndarray:

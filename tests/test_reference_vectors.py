@@ -388,3 +388,123 @@ class TestUint16AlphabetDeviation:
         assert ratio < 0.75, (ours, ref_bytes)
         np.testing.assert_array_equal(
             codec.decode(payload, side), plane.reshape(32, 32))
+
+
+class TestMDCTScaleVectors:
+    """Pin the reference's empirical per-quantizer MDCT divisor
+    (src/2D-MDCT.py:402-421), independently transcribed:
+    LloydMax -> B/1.5; deadzone -> B/2 for B<=8, B/4 for B>=32, and the
+    linear interpolation of the divisor for 8 < B < 32."""
+
+    def test_deadzone_table(self):
+        from vcf_tpu.ops.mdct import mdct_scale_factor
+
+        expect = {4: 2.0, 8: 4.0, 16: 4.0 + (8 / 24) * 4.0, 24: 4.0 +
+                  (16 / 24) * 4.0, 32: 8.0, 64: 16.0}
+        for b, s in expect.items():
+            assert mdct_scale_factor(b, "deadzone") == pytest.approx(s), b
+
+    def test_lloydmax_table(self):
+        from vcf_tpu.ops.mdct import mdct_scale_factor
+
+        for b in (4, 8, 16, 32, 64):
+            assert mdct_scale_factor(b, "lloydmax") == pytest.approx(b / 1.5)
+
+    def test_net_coeff_scale_vs_reference_raw(self):
+        """Our orthonormal coefficients x coeff_scale must equal the
+        reference's raw cos-matrix coefficients / its scale factor.
+        Raw(2D) = (b/2) * orthonormal(2D) (the reference's mdct_1d
+        carries no sqrt(2/N); :105-127 vs our sqrt(2/b) per axis)."""
+        from vcf_tpu.ops.mdct import coeff_scale
+
+        for b in (4, 8, 16, 32):
+            for q, s in (("deadzone", None), ("lloydmax", b / 1.5)):
+                from vcf_tpu.ops.mdct import mdct_scale_factor
+
+                ref_div = mdct_scale_factor(b, q)
+                assert coeff_scale(b, q) == pytest.approx((b / 2) / ref_div)
+
+
+class TestKLTVectors:
+    """Pin the reference's KLT conventions (src/2D-KLT.py:147-167):
+    rows = eigenvectors of the block covariance sorted by DESCENDING
+    eigenvalue; forward X @ W.T, inverse Y @ W.  The reference leaves
+    eigh's sign ambiguity unresolved; our deterministic law makes each
+    row's largest-|entry| positive (ties -> lowest index)."""
+
+    def test_hand_covariance_2d(self):
+        import jax.numpy as jnp
+        from vcf_tpu.ops.klt import train_weights
+
+        # samples with covariance ~[[2,1],[1,2]]: eigvals 3 > 1,
+        # eigvecs [1,1]/sqrt2 and [1,-1]/sqrt2
+        rng = np.random.default_rng(3)
+        z = rng.normal(size=(20000, 2))
+        a = np.array([[1.0, 1.0], [1.0, -1.0]]) / np.sqrt(2.0)
+        x = z * np.sqrt([3.0, 1.0]) @ a  # cov = A^T diag(3,1) A
+        w = np.asarray(train_weights(jnp.asarray(x[None], jnp.float32)))[0]
+        s2 = 1 / np.sqrt(2.0)
+        # descending order + deterministic signs
+        np.testing.assert_allclose(np.abs(w[0]), [s2, s2], atol=0.02)
+        np.testing.assert_allclose(np.abs(w[1]), [s2, s2], atol=0.02)
+        assert w[0, 0] > 0 and w[0, 1] > 0       # [+, +] principal axis
+        # sign law: each row's largest-|entry| is positive
+        for row in w:
+            assert row[np.argmax(np.abs(row))] > 0
+        assert w[1, 0] * w[1, 1] < 0             # second axis is [+,-]ish
+
+    def test_forward_inverse_contract(self):
+        """X @ W.T then @ W restores X (src/2D-KLT.py:248,290)."""
+        import jax.numpy as jnp
+        from vcf_tpu.ops.klt import train_weights
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(1, 500, 16)).astype(np.float32)
+        w = np.asarray(train_weights(jnp.asarray(x)))[0]
+        rec = (x[0] @ w.T) @ w
+        np.testing.assert_allclose(rec, x[0], atol=1e-4)
+        # orthonormal rows
+        np.testing.assert_allclose(w @ w.T, np.eye(16), atol=1e-4)
+
+
+class TestDWTFilterVectors:
+    def test_db5_published_coefficients(self):
+        """db5 (the reference's -w default, src/2D-DWT.py:28) must match
+        the published PyWavelets table (reversed-order convention)."""
+        from vcf_tpu.ops.dwt import daubechies_lowpass
+
+        pywt_db5_dec_lo = [
+            0.003335725285001549, -0.012580751999015526,
+            -0.006241490213011705, 0.07757149384006515,
+            -0.03224486958502952, -0.24229488706619015,
+            0.13842814590110342, 0.7243085284385744,
+            0.6038292697974729, 0.160102397974125,
+        ]
+        np.testing.assert_allclose(
+            daubechies_lowpass(5), np.array(pywt_db5_dec_lo)[::-1],
+            atol=1e-10)
+
+    def test_db5_analysis_vector(self):
+        """One periodized analysis level against a direct numpy
+        evaluation of a[k] = sum_j h[j] x[(2k+j) mod n]."""
+        import jax.numpy as jnp
+        from vcf_tpu.ops import dwt
+
+        h = dwt.daubechies_lowpass(5)
+        g = np.array([(-1) ** k for k in range(len(h))]) * h[::-1]
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=16)
+        expect_lo = np.array([
+            sum(h[j] * x[(2 * k + j) % 16] for j in range(10))
+            for k in range(8)
+        ])
+        expect_hi = np.array([
+            sum(g[j] * x[(2 * k + j) % 16] for j in range(10))
+            for k in range(8)
+        ])
+        bank = dwt.get_bank("db5")
+        x2 = jnp.asarray(np.tile(x[:, None], (1, 4)).astype(np.float64))
+        lo = np.asarray(dwt._down_axis(x2, bank.dec_lo, bank.shift_lo, 0))
+        hi = np.asarray(dwt._down_axis(x2, bank.dec_hi, bank.shift_hi, 0))
+        np.testing.assert_allclose(lo[:, 0], expect_lo, atol=1e-6)
+        np.testing.assert_allclose(hi[:, 0], expect_hi, atol=1e-6)

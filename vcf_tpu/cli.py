@@ -244,11 +244,16 @@ def main(argv: Optional[list] = None) -> int:
 
         img = read_image(args.original)
         config = config_from_args(args)
+        bopt = None
         if args.Lambda is not None and config.spatial == "dct":
-            b = optimize_block_size(img, config, args.Lambda)
-            logging.info("optimal block_size=%s", b)
-            config = config.replace(block_size=b)
+            bopt = optimize_block_size(img, config, args.Lambda)
+            logging.info("optimal block_size=%s", bopt)
+            config = config.replace(block_size=bopt)
         cs = Codec(config).encode(img)
+        if bopt is not None:
+            # record the chosen block size so decode needs no -B (the
+            # reference leaves this to the user, src/2D-DCT.py:533-579)
+            cs.put_json("bopt", {"block_size": int(bopt)})
         if args.vcf_layout:
             total = cs.write_vcf_layout(args.encoded)
         else:
@@ -267,7 +272,11 @@ def main(argv: Optional[list] = None) -> int:
         except ValueError:
             # payload written with --vcf-layout: sidecars live next to it
             cs = CodeStream.read_vcf_layout(args.encoded)
-        rec = Codec(config_from_args(args)).decode(cs)
+        config = config_from_args(args)
+        if "bopt" in cs:
+            config = config.replace(
+                block_size=int(cs.get_json("bopt")["block_size"]))
+        rec = Codec(config).decode(cs)
         write_image(args.decoded, rec)
         logging.info("wrote %s", args.decoded)
         return 0

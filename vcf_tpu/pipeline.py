@@ -384,7 +384,7 @@ class Codec:
             cs.put_array(f"q_{name}", arr)
 
     def _load_indexes(self, cs: CodeStream, offset: int, signed: bool):
-        reserved = {PAYLOAD, "shape"}
+        reserved = {PAYLOAD, "shape", "bopt"}
         side = {
             name: cs[name]
             for name in cs

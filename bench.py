@@ -134,16 +134,24 @@ def main():
     # RTT-amortized timing: run `reps` iterations inside one dispatch.
     # ------------------------------------------------------------------
     def timed(fn_reps, *args):
-        """fn_reps(reps, *args) -> scalar checksum; returns s/rep."""
-        for _ in range(WARMUP):
+        """fn_reps(reps, *args) -> scalar checksum; returns s/rep.
+
+        min-of-3 per rep count after 4 warm calls: freshly uploaded
+        executables run ~5x slow for 1-2 executions (PERF_NOTES), and a
+        slow t_lo silently UNDER-measures the difference (r4 probe 30
+        caught a 2x swing this way)."""
+        for _ in range(max(WARMUP, 4)):
             int(fn_reps(jnp.int32(REPS_LO), *args))
-        t0 = time.perf_counter()
-        int(fn_reps(jnp.int32(REPS_LO), *args))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(fn_reps(jnp.int32(REPS_HI), *args))
-        t_hi = time.perf_counter() - t0
-        return max(t_hi - t_lo, 1e-9) / (REPS_HI - REPS_LO), t_lo
+        t_los, t_his = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(fn_reps(jnp.int32(REPS_LO), *args))
+            t_los.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(fn_reps(jnp.int32(REPS_HI), *args))
+            t_his.append(time.perf_counter() - t0)
+        return (max(min(t_his) - min(t_los), 1e-9)
+                / (REPS_HI - REPS_LO), min(t_los))
 
     # ---- dense device codec (single global model) ------------------------
     @jax.jit
@@ -176,13 +184,17 @@ def main():
         def body(i, acc):
             # i-dependent state perturbation so XLA cannot hoist the
             # loop-invariant decode out of the rep loop (timing only;
-            # the checked reconstruction uses decode_dense below)
+            # the checked reconstruction uses decode_dense below).
+            # jnp.sum consumes EVERY output element: a single-element
+            # probe lets XLA DCE whatever work that element does not
+            # depend on (r4 honesty fix, the decode-side twin of r3's
+            # words-consumption fix)
             st_i = st ^ (i.astype(jnp.uint32) & jnp.uint32(1))
             syms = rans_mod.jax_decode(wp, jnp.int32(0), st_i, f_j, c_j,
                                        l_steps)
             planes = syms.T.reshape(n_frames, h, w, 3)
             rec = dec_t(planes)
-            return acc + rec[0, 0, 0, 0].astype(jnp.int32)
+            return acc + jnp.sum(rec.astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     @jax.jit
@@ -261,7 +273,7 @@ def main():
                 planes = rans_mod.block_unlanes(
                     lanes, b, (n_frames, h, w, 3))
                 rec = dec_tb(planes)
-                return acc + rec[0, 0, 0, 0].astype(jnp.int32)
+                return acc + jnp.sum(rec.astype(jnp.int32))
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
         return decode_grouped, decode_grouped_reps
@@ -284,66 +296,37 @@ def main():
             fused_dct_quantize,
             fused_dequantize_idct,
         )
+        from vcf_tpu.ops.pallas.dct_kernel import _chunk_w
 
-        # PLANAR pipeline (opt-in, BENCH_PLANAR=1): everything stays
-        # (N, 3, H, W) between the frame transposes at the edges — the
-        # (H, W, 3)-layout hops of the per-frame path measured 29.6 ms
-        # vs 12.9 ms planar for the decode tail (channel-minor
-        # transposes + color in 3-minor layout).  Bitwise-equal planes:
-        # same f32 HIGHEST 3-term color dot, same fused DCT kernel,
-        # same lane order.  OPT-IN because the composed planar bench
-        # hung the axon remote compiler twice (r3; the probe graphs
-        # compile and run fine in isolation — chase next round).
+        # SUBBAND-GRID pipeline (r4): the DCT kernels emit/consume tiles
+        # whose rows/cols are already in (coeff, block) order (the
+        # permutation folded into the kron constants, dct_kernel
+        # grid_layout=True), so the entropy laning (grid_lanes) is pure
+        # reshapes + one 16-byte-atom transpose.  The byte-granular
+        # laning shuffles this removes were ~8 ms (encode) + ~7 ms
+        # (decode) of the 8x1080p bench (r4 probes 23/26/29).
         m_fwd = jnp.asarray(np.asarray(color_ops.YCOCG_FWD, np.float32))
         m_inv = jnp.asarray(np.asarray(color_ops.YCOCG_INV, np.float32))
-        g_g = b * b
+        cw = _chunk_w(w, b)
 
-        def lanes_planar(planes):           # (N, 3, H, W) u8 -> (S, L)
-            blk = planes.reshape(n_frames, 3, h // b, b, w // b, b)
-            sb = blk.transpose(3, 5, 0, 2, 4, 1).reshape(g_g, -1)
-            l = sb.shape[1] // (s_streams // g_g)
-            return sb.reshape(g_g, l, s_streams // g_g) \
-                .transpose(0, 2, 1).reshape(s_streams, l)
-
-        def unlanes_planar(syms):           # (S, L) -> (N, 3, H, W) u8
-            sgl = s_streams // g_g
-            sb = syms.reshape(g_g, sgl, l_steps) \
-                .transpose(0, 2, 1).reshape(g_g, -1)
-            blk = sb.reshape(b, b, n_frames, h // b, w // b, 3)
-            return blk.transpose(2, 5, 3, 0, 4, 1).reshape(
-                n_frames, 3, h, w)
-
-        def enc_planar(fd):                 # (N, H, W, 3) u8 -> (S, L)
+        def make_lanes(fd):                 # (N, H, W, 3) u8 -> (S, L)
             xp = fd.transpose(0, 3, 1, 2).astype(jnp.float32) - 128.0
             ct = jnp.einsum("dc,nchw->ndhw", m_fwd, xp,
                             precision=jax.lax.Precision.HIGHEST)
             planes = jax.vmap(lambda q: fused_dct_quantize(
-                q, b=b, qss=cfg.qss, offset=128))(ct)
-            return lanes_planar(planes)
+                q, b=b, qss=cfg.qss, offset=128, grid_layout=True))(ct)
+            return rans_mod.grid_lanes(planes, b, s_streams,
+                                       rows=32, cw=cw)
 
-        def dec_planar(lanes):              # (S, L) -> (N, H, W, 3) u8
-            planes = unlanes_planar(lanes)
+        def make_frames(lanes):             # (S, L) -> (N, H, W, 3) u8
+            planes = rans_mod.grid_unlanes(
+                lanes, b, (n_frames, 3, h, w), rows=32, cw=cw)
             ct = jax.vmap(lambda q: fused_dequantize_idct(
-                q, b=b, qss=cfg.qss, offset=128))(planes)
+                q, b=b, qss=cfg.qss, offset=128, grid_layout=True))(planes)
             y = jnp.einsum("dc,nchw->ndhw", m_inv, ct,
                            precision=jax.lax.Precision.HIGHEST) + 128.0
             return jnp.clip(jnp.round(y), 0, 255).astype(
                 jnp.uint8).transpose(0, 2, 3, 1)
-
-        use_planar = (cfg.color == "ycocg" and cfg.use_pallas
-                      and jax.default_backend() == "tpu"
-                      and os.environ.get("BENCH_PLANAR", "0") == "1")
-
-        def make_lanes(fd):
-            if use_planar:
-                return enc_planar(fd)
-            return rans_mod.block_lanes(enc_tb(fd), b, s_streams)
-
-        def make_frames(lanes):
-            if use_planar:
-                return dec_planar(lanes)
-            return dec_tb(rans_mod.block_unlanes(
-                lanes, b, (n_frames, h, w, 3)))
 
         @jax.jit
         def encode_grid_reps(reps, fd):
@@ -369,7 +352,7 @@ def main():
                     le, st_i, fg_j, cg_j, l_steps, unroll=unroll_g,
                     sg=sg_lanes)
                 rec = make_frames(lanes)
-                return acc + rec[0, 0, 0, 0].astype(jnp.int32)
+                return acc + jnp.sum(rec.astype(jnp.int32))
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
         @jax.jit
@@ -378,10 +361,13 @@ def main():
                 le, st, fg_j, cg_j, l_steps, unroll=unroll_g, sg=sg_lanes)
             return make_frames(lanes)
 
+        stitch_chunk = 65536 if (l_steps * s_streams) % 65536 == 0 else 32768
+
         @jax.jit
         def stitch_reps(reps, le):
             def body(i, acc):
-                w_, nw_, cts_ = re_.finish_stream_pallas(le ^ (i & 1))
+                w_, nw_, cts_ = re_.finish_stream_pallas(
+                    le ^ (i & 1), chunk=stitch_chunk, radix=2)
                 return acc + nw_ + jnp.sum(w_[:8].astype(jnp.int32))
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
@@ -390,12 +376,36 @@ def main():
         gle = jax.block_until_ready(gle)
         t_dec_g, _ = timed(decode_grid_reps, gle, gst)
         t_wire, _ = timed(stitch_reps, gle)
-        gw, gnw, gcounts = re_.finish_stream_pallas(gle)
+        gw, gnw, gcounts = re_.finish_stream_pallas(
+            gle, chunk=stitch_chunk, radix=2)
         gnw_i = int(gnw)
         gcounts_h = np.asarray(gcounts).astype(np.int32)
         rec_g = np.asarray(jax.device_get(decode_grid(gle, gst)))
         err_g = float(np.sqrt(np.mean(
             (rec_g[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
+
+        # wire-complete decode (ADVICE r3): consume the COMPACT stream
+        # (windows pre-pass + window-routing kernel), not the encoder's
+        # in-HBM grid — wire_gbps is an end-to-end wire number
+        cap = sg_lanes * max(1, -(-int(gcounts_h.max()) // sg_lanes))
+        cap = min(cap, s_streams)
+        wpad = jax.block_until_ready(jnp.concatenate(
+            [gw[:gnw_i], jnp.zeros((cap + s_streams + 16,), jnp.uint16)]))
+        gcts = jnp.asarray(gcounts_h)
+
+        @jax.jit
+        def decode_wire_reps(reps, wp, cts, st):
+            def body(i, acc):
+                st_i = st ^ (i.astype(jnp.uint32) & jnp.uint32(1))
+                win = rd.build_windows(wp, cts, cap)
+                lanes = rd.pallas_decode_grouped(
+                    win, st_i, fg_j, cg_j, l_steps, cap,
+                    unroll=unroll_g, sg=sg_lanes)
+                rec = make_frames(lanes)
+                return acc + jnp.sum(rec.astype(jnp.int32))
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        t_dec_wire, _ = timed(decode_wire_reps, wpad, gcts, gst)
         side_g = 4 * s_streams + len(_z.compress(fg.astype("<u2").tobytes(), 9))
         side_g += len(_z.compress(gcounts_h.astype("<u4").tobytes(), 9))
         return {
@@ -403,12 +413,12 @@ def main():
             "gbps": round(frames.nbytes / (t_enc_g + t_dec_g) / 1e9, 4),
             "rmse": round(err_g, 3),
             "bpp": round((2 * gnw_i + side_g) * 8 / (n_frames * h * w), 4),
-            "layout": "lane-grid in HBM; bpp counts the compact wire "
-                      "bytes (stitch measured separately)",
-            "planar": bool(use_planar),
+            "layout": "subband-grid lane layout in HBM; bpp counts the "
+                      "compact wire bytes",
             "wire_stitch_s": round(t_wire, 4),
+            "wire_decode_s": round(t_dec_wire, 4),
             "wire_gbps": round(
-                frames.nbytes / (t_enc_g + t_wire + t_dec_g) / 1e9, 4),
+                frames.nbytes / (t_enc_g + t_wire + t_dec_wire) / 1e9, 4),
             "pallas": "encode+decode kernels",
         }
 
@@ -452,7 +462,7 @@ def main():
     def roundtrip_reps(reps, fd):
         def body(i, acc):
             rec = dec_t(enc_t(jnp.roll(fd, i, axis=0)))
-            return acc + rec[0, 0, 0, 0].astype(jnp.int32)
+            return acc + jnp.sum(rec.astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     t_tr, _ = timed(roundtrip_reps, frames_dev)

@@ -155,22 +155,30 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
         def body(i, acc):
             # i-dependent state perturbation so XLA cannot hoist the
             # loop-invariant decode (timing only; the checked
-            # reconstruction uses decode_full directly)
+            # reconstruction uses decode_full directly).  The checksum
+            # must consume EVERY output element: a single-element probe
+            # lets XLA dead-code-eliminate the whole GOP reconstruction
+            # scan (the I-frame recon is scan-independent) — r3's
+            # decode_s was undermeasured exactly this way.
             stt_i = stt ^ (i.astype(jnp.uint32) & jnp.uint32(1))
             rec = decode_full(wp, cts, stt_i, mv, le)
-            return acc + rec[0, 0, 0, 0, 0].astype(jnp.int32)
+            return acc + jnp.sum(rec.astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
-    def timed(fn, *args, lo=1, hi=3, warm=2):
+    def timed(fn, *args, lo=1, hi=3, warm=4):
+        # min-of-3 per rep count after 4 warm calls: a cold t_lo
+        # silently UNDER-measures the difference (bench.py note)
         for _ in range(warm):
             int(fn(jnp.int32(lo), *args))
-        t0 = time.perf_counter()
-        int(fn(jnp.int32(lo), *args))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(fn(jnp.int32(hi), *args))
-        t_hi = time.perf_counter() - t0
-        return max(t_hi - t_lo, 1e-9) / (hi - lo)
+        t_los, t_his = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(fn(jnp.int32(lo), *args))
+            t_los.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(fn(jnp.int32(hi), *args))
+            t_his.append(time.perf_counter() - t0)
+        return max(min(t_his) - min(t_los), 1e-9) / (hi - lo)
 
     t_enc = timed(encode_reps, gops_dev)
     t_dec = timed(decode_reps, wpad, counts_dev, st, mvs_dev, le_arg)

@@ -110,3 +110,127 @@ def test_ipp_make_search_selects_pallas(monkeypatch):
     codec2 = IPPCodec(VideoConfig(fast_search=True),
                       CodecConfig(use_pallas=True))
     assert codec2._make_search(288, 352).kind == "three_step"
+
+
+class TestMCKernel:
+    def test_matches_xla_compensate(self):
+        """mc_apply (mask-accumulate sweep) is bit-identical to the
+        vmapped-dynamic-slice gather for |mv| <= s, including edge
+        clamping (reference boundary law, src/IPP_DCT.py:378-395)."""
+        from vcf_tpu.ops.pallas.mc_kernel import mc_apply, supports
+
+        rng = np.random.default_rng(11)
+        for (h, w, m, s) in [(64, 128, 16, 4), (96, 160, 16, 8),
+                             (64, 256, 8, 4)]:
+            ref = rng.integers(0, 255, size=(h, w, 3)).astype(np.float32)
+            mv = rng.integers(-s, s + 1,
+                              size=(h // m, w // m, 2)).astype(np.int32)
+            want = motion.compensate(jnp.asarray(ref), jnp.asarray(mv), m,
+                                     pad=max(s, 8))
+            got = mc_apply(jnp.asarray(ref), jnp.asarray(mv), m, s,
+                           interpret=True)
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+            assert supports(h, w, m, s)
+
+    def test_edge_mvs_clamp(self):
+        """Boundary blocks pointing out of frame replicate the edge."""
+        from vcf_tpu.ops.pallas.mc_kernel import mc_apply
+
+        rng = np.random.default_rng(12)
+        h, w, m, s = 64, 128, 16, 8
+        ref = rng.integers(0, 255, size=(h, w, 3)).astype(np.float32)
+        mv = np.zeros((h // m, w // m, 2), np.int32)
+        mv[0, :, 0] = -s   # top row points above the frame
+        mv[-1, :, 1] = s   # bottom row points right
+        want = motion.compensate(jnp.asarray(ref), jnp.asarray(mv), m,
+                                 pad=max(s, 8))
+        got = mc_apply(jnp.asarray(ref), jnp.asarray(mv), m, s,
+                       interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_block_lanes_mm_roundtrip():
+    """MXU-relayout laning: matches its own inverse and preserves the
+    per-group symbol multisets of block_lanes (same rate)."""
+    from vcf_tpu.entropy import rans
+
+    rng = np.random.default_rng(13)
+    planes = rng.integers(0, 256, size=(2, 32, 48, 3)).astype(np.uint8)
+    s = 64 * 4
+    lanes = rans.block_lanes_mm(jnp.asarray(planes), 8, s)
+    back = rans.block_unlanes_mm(lanes, 8, planes.shape)
+    np.testing.assert_array_equal(np.asarray(back), planes)
+    old = rans.block_lanes(jnp.asarray(planes), 8, s)
+    for g in (0, 31, 63):
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(lanes)[g * 4:(g + 1) * 4].reshape(-1)),
+            np.sort(np.asarray(old)[g * 4:(g + 1) * 4].reshape(-1)))
+
+
+class TestGridLayout:
+    def test_grid_kernels_equal_permuted_plain(self):
+        """grid_layout folds the subband-grid permutation into the kron
+        matrices: encode output == plain output with tile rows/cols
+        permuted; decode with the same matrices inverts exactly."""
+        from vcf_tpu.ops.pallas.dct_kernel import (
+            fused_dct_quantize, fused_dequantize_idct, _grid_perm,
+            _chunk_w)
+
+        rng = np.random.default_rng(17)
+        planes = rng.uniform(-120, 120, size=(3, 64, 256)).astype(np.float32)
+        cw = _chunk_w(256, 8)
+        k_plain = np.asarray(fused_dct_quantize(
+            jnp.asarray(planes), interpret=True))
+        k_grid = np.asarray(fused_dct_quantize(
+            jnp.asarray(planes), interpret=True, grid_layout=True))
+        pr, pc = _grid_perm(32, 8), _grid_perm(cw, 8)
+        exp = k_plain.reshape(3, 2, 32, 256 // cw, cw)[:, :, pr][:, :, :, :, pc]
+        np.testing.assert_array_equal(exp.reshape(3, 64, 256), k_grid)
+        rec_g = np.asarray(fused_dequantize_idct(
+            jnp.asarray(k_grid), interpret=True, grid_layout=True))
+        rec_p = np.asarray(fused_dequantize_idct(
+            jnp.asarray(k_plain), interpret=True))
+        np.testing.assert_allclose(rec_g, rec_p, atol=1e-4)
+
+    def test_grid_lanes_roundtrip_and_grouping(self):
+        """grid_lanes/grid_unlanes invert each other and preserve the
+        per-coefficient group multisets (same grouped-rANS rate)."""
+        from vcf_tpu.entropy import rans
+        from vcf_tpu.ops.pallas.dct_kernel import (
+            fused_dct_quantize, _chunk_w)
+
+        rng = np.random.default_rng(18)
+        planes = rng.uniform(-120, 120, size=(2, 3, 64, 256)).astype(
+            np.float32)
+        cw = _chunk_w(256, 8)
+        k_grid = np.asarray(jax.vmap(lambda p: fused_dct_quantize(
+            p, interpret=True, grid_layout=True))(jnp.asarray(planes)))
+        s = 64 * 8
+        lanes = rans.grid_lanes(jnp.asarray(k_grid), 8, s, rows=32, cw=cw)
+        back = np.asarray(rans.grid_unlanes(lanes, 8, k_grid.shape,
+                                            rows=32, cw=cw))
+        np.testing.assert_array_equal(back, k_grid)
+        k_plain = np.asarray(jax.vmap(lambda p: fused_dct_quantize(
+            p, interpret=True))(jnp.asarray(planes)))
+        old = np.asarray(rans.block_lanes(
+            jnp.asarray(k_plain.transpose(0, 2, 3, 1)), 8, s))
+        sg = s // 64
+        for g in (0, 17, 63):
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(lanes)[g * sg:(g + 1) * sg].reshape(-1)),
+                np.sort(old[g * sg:(g + 1) * sg].reshape(-1)))
+
+
+def test_push_compact_radix2_matches_radix4():
+    from vcf_tpu.ops.pallas import rans_encode as re_
+
+    rng = np.random.default_rng(19)
+    le = ((rng.random((8, 1024)) < 0.05).astype(np.int32) << 16) \
+        | rng.integers(0, 65536, (8, 1024)).astype(np.int32)
+    w4, n4, _ = re_.finish_stream_pallas(jnp.asarray(le), chunk=2048,
+                                         sg2=512, interpret=True)
+    w2, n2, _ = re_.finish_stream_pallas(jnp.asarray(le), chunk=2048,
+                                         sg2=512, radix=2, interpret=True)
+    assert int(n4) == int(n2)
+    np.testing.assert_array_equal(np.asarray(w4)[:int(n4)],
+                                  np.asarray(w2)[:int(n2)])

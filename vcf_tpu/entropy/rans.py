@@ -649,6 +649,113 @@ def block_unlanes(syms: jnp.ndarray, b: int, shape) -> jnp.ndarray:
     return blk.transpose(2, 3, 0, 4, 1, 5).reshape(n, h, w, c)
 
 
+@functools.lru_cache(maxsize=None)
+def _interleave_qmats(b: int, w: int, c: int):
+    """One-hot (b, w*c//b, w*c) matrices Q with
+    Q[gx, bx*c + ch, (bx*b + gx)*c + ch] = 1 — the within-row
+    (bx, gx, ch) <-> (bx, ch) byte interleave as an MXU matmul.
+    Entries are 0/1 and the u8 operands are <= 255, both exact in
+    bf16 with f32 accumulation, so the 'transpose via matmul' is
+    bit-exact."""
+    nbx = w // b
+    q = np.zeros((b, nbx * c, w * c), np.float32)
+    for gx in range(b):
+        for bx in range(nbx):
+            for ch in range(c):
+                q[gx, bx * c + ch, (bx * b + gx) * c + ch] = 1.0
+    # numpy, not jnp: a device array created inside a trace would leak
+    # a tracer through the cache
+    return q.astype(jnp.bfloat16)
+
+
+def block_lanes_mm(planes: jnp.ndarray, b: int, s_streams: int) -> jnp.ndarray:
+    """MXU-relayout laning: same per-subband grouping as `block_lanes`
+    (lane s // (S/b^2) = coefficient (gy, gx), so grouped tables apply
+    unchanged) but with a LANE-MAJOR block order — lane j of group g
+    codes blocks f = j*L + t for t = 0..L-1, f enumerating
+    (frame, block_row, block_col, channel) raster.
+
+    Why: `block_unlanes`'s (S, L) -> (N, H, W, C) permutation is a
+    byte-granularity XLA transpose measured at ~23 ms for 50 MB on the
+    v5e (r4 probe 23) — the decode tail's dominant cost.  With the
+    lane-major order, (S, L) -> (G, f) is a FREE contiguous reshape,
+    and the only real data movement left is the within-row
+    (bx, gx, ch) interleave, done here as a one-hot bf16 einsum on the
+    MXU (~0.6 GFLOP per 1080p frame; bit-exact, see _interleave_qmats).
+
+    NOT wire-compatible with block_lanes (different symbol order, same
+    rate); pair with `block_unlanes_mm` only.
+    """
+    n, h, w, c = planes.shape
+    g = b * b
+    sg = s_streams // g
+    r = n * (h // b)
+    v = planes.reshape(r, b, w * c)                    # (R, gy, W*C)
+    q = jnp.asarray(_interleave_qmats(b, w, c))
+    sb = jnp.einsum(
+        "ryq,xdq->yxrd", v.astype(jnp.bfloat16), q,
+        preferred_element_type=jnp.float32)            # (gy, gx, R, NBX*C)
+    sb = sb.astype(jnp.uint8)
+    l = (r * (w // b) * c) // sg
+    return sb.reshape(g, sg, l).reshape(g * sg, l)
+
+
+def block_unlanes_mm(syms: jnp.ndarray, b: int, shape) -> jnp.ndarray:
+    """Inverse of block_lanes_mm: (S, L) -> (N, H, W, C) block layout
+    via the transposed one-hot einsum (reshape is contiguous, the MXU
+    does the interleave)."""
+    n, h, w, c = shape
+    g = b * b
+    s_streams, l = syms.shape
+    sg = s_streams // g
+    r = n * (h // b)
+    sb = syms.reshape(g, sg * l).reshape(b, b, r, (w // b) * c)
+    q = jnp.asarray(_interleave_qmats(b, w, c))
+    v = jnp.einsum(
+        "yxrd,xdq->ryq", sb.astype(jnp.bfloat16), q,
+        preferred_element_type=jnp.float32)            # (R, gy, W*C)
+    return v.astype(jnp.uint8).reshape(n, h, w, c)
+
+
+def grid_lanes(planes_grid: jnp.ndarray, b: int, s_streams: int,
+               rows: int = 32, cw: int = 128) -> jnp.ndarray:
+    """(N, C, H, W) u8 planes in the SUBBAND-GRID tile layout emitted by
+    ops/pallas/dct_kernel.fused_dct_quantize(grid_layout=True) — tile
+    rows ordered (coeff_y, block_y), cols (coeff_x, block_x) — to the
+    (S, L) lane matrix with per-coefficient groups (lane // (S/b²) =
+    gy*b+gx, grouped tables apply unchanged) and LANE-MAJOR block order.
+
+    Every step is a contiguous reshape or a transpose whose minor atom
+    is cw/b bytes (16 at 1080p) — no byte-granular shuffles (those were
+    ~8 ms encode + ~7 ms decode of the 8x1080p bench, r4 probes 23/26).
+    Pair with `grid_unlanes`; wire format differs from block_lanes
+    (same rate: identical per-group symbol multisets)."""
+    n, c, h, w = planes_grid.shape
+    g = b * b
+    sg = s_streams // g
+    j_t, k_t = h // rows, w // cw
+    br, bc = rows // b, cw // b
+    x = planes_grid.reshape(n, c, j_t, b, br, k_t, b, bc)
+    xt = x.transpose(3, 6, 0, 1, 2, 4, 5, 7)   # (gy, gx, N, C, J, BR, K, BC)
+    l = (n * c * j_t * br * k_t * bc) // sg
+    return xt.reshape(g, sg, l).reshape(g * sg, l)
+
+
+def grid_unlanes(syms: jnp.ndarray, b: int, shape,
+                 rows: int = 32, cw: int = 128) -> jnp.ndarray:
+    """Inverse of grid_lanes: (S, L) -> (N, C, H, W) grid-tile layout
+    (feed to fused_dequantize_idct(grid_layout=True))."""
+    n, c, h, w = shape
+    g = b * b
+    s_streams, l = syms.shape
+    sg = s_streams // g
+    j_t, k_t = h // rows, w // cw
+    br, bc = rows // b, cw // b
+    xt = syms.reshape(g, sg * l).reshape(b, b, n, c, j_t, br, k_t, bc)
+    x = xt.transpose(2, 3, 4, 0, 5, 6, 1, 7)   # (N, C, J, gy, BR, K, gx, BC)
+    return x.reshape(n, c, h, w)
+
+
 def subband_group_freqs(planes0: np.ndarray, b: int) -> Tuple[np.ndarray, np.ndarray]:
     """Train per-subband quantized tables from a sample batch (host).
     Returns (freqs_g (G,256) uint32, cums_g (G,256) uint32), G = b^2."""

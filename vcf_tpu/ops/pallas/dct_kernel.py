@@ -40,6 +40,34 @@ def _kron_dct(n: int, b: int, transpose: bool) -> np.ndarray:
     return np.kron(np.eye(n // b, dtype=np.float32), d.T if transpose else d)
 
 
+@functools.lru_cache(maxsize=None)
+def _grid_perm(n: int, b: int) -> np.ndarray:
+    """Permutation taking (block, coeff) order to (coeff, block) order
+    within an n-wide tile: new index (g*n//b + blk) holds old
+    (blk*b + g)."""
+    nb = n // b
+    perm = np.empty(n, np.int64)
+    for g in range(b):
+        for blk in range(nb):
+            perm[g * nb + blk] = blk * b + g
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
+def _kron_dct_grid(n: int, b: int, transpose: bool) -> np.ndarray:
+    """Kron DCT matrix with the subband-grid permutation folded in —
+    zero extra cost in the kernel (same matmul, permuted constant).
+
+    Encode: rows of the output tile come out in (coeff, block) order;
+    decode uses the SAME matrices (orthogonal permutations cancel in
+    bvᵀ P Pᵀ coeff)."""
+    m = _kron_dct(n, b, transpose)
+    perm = _grid_perm(n, b)
+    if transpose:   # right operand: permute columns
+        return np.ascontiguousarray(m[:, perm])
+    return np.ascontiguousarray(m[perm])
+
+
 def _encode_kernel(x_ref, bv_ref, bh_ref, o_ref, *, qss: int, offset: int):
     x = x_ref[0]
     y = jnp.dot(bv_ref[:], x, preferred_element_type=jnp.float32)
@@ -73,16 +101,26 @@ def supports(h: int, w: int) -> bool:
     return h % ROWS == 0 and w % 128 == 0 and _chunk_w(w, 8) % 128 == 0
 
 
-@functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret"))
+@functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret",
+                                             "grid_layout"))
 def fused_dct_quantize(planes: jnp.ndarray, b: int = 8, qss: int = 32,
-                       offset: int = 128, interpret: bool = False) -> jnp.ndarray:
-    """(C, H, W) float32 -> (C, H, W) uint8 quantization indexes
-    (block layout; subband reordering stays outside)."""
+                       offset: int = 128, interpret: bool = False,
+                       grid_layout: bool = False) -> jnp.ndarray:
+    """(C, H, W) float32 -> (C, H, W) uint8 quantization indexes.
+
+    grid_layout=False: block layout (subband reordering stays outside).
+    grid_layout=True: each (ROWS, CW) tile comes out in subband-grid
+    order — rows (coeff_y, block_y), cols (coeff_x, block_x) — via the
+    permuted constant matrices (_kron_dct_grid), which makes the
+    entropy laning a large-atom transpose instead of a byte shuffle
+    (r4: the laning transposes were ~8 ms of the 14.5 ms 8x1080p
+    encode transform)."""
     c, h, w = planes.shape
     assert h % ROWS == 0 and w % b == 0 and ROWS % b == 0
     cw = _chunk_w(w, b)
-    bv = jnp.asarray(_kron_dct(ROWS, b, transpose=False))
-    bh = jnp.asarray(_kron_dct(cw, b, transpose=True))
+    mk = _kron_dct_grid if grid_layout else _kron_dct
+    bv = jnp.asarray(mk(ROWS, b, transpose=False))
+    bh = jnp.asarray(mk(cw, b, transpose=True))
     kernel = functools.partial(_encode_kernel, qss=qss, offset=offset)
     return pl.pallas_call(
         kernel,
@@ -102,16 +140,22 @@ def fused_dct_quantize(planes: jnp.ndarray, b: int = 8, qss: int = 32,
     )(planes, bv, bh)
 
 
-@functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret"))
+@functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret",
+                                             "grid_layout"))
 def fused_dequantize_idct(planes_u8: jnp.ndarray, b: int = 8, qss: int = 32,
-                          offset: int = 128, interpret: bool = False) -> jnp.ndarray:
+                          offset: int = 128, interpret: bool = False,
+                          grid_layout: bool = False) -> jnp.ndarray:
     """(C, H, W) uint8 indexes -> (C, H, W) float32 pixels (color inverse
-    and +offset fuse outside)."""
+    and +offset fuse outside).  grid_layout: input tiles are in the
+    subband-grid order fused_dct_quantize(grid_layout=True) emits; the
+    same permuted matrices invert it for free (P is orthogonal, so
+    bvᵀ P Pᵀ coeff cancels)."""
     c, h, w = planes_u8.shape
     assert h % ROWS == 0 and w % b == 0 and ROWS % b == 0
     cw = _chunk_w(w, b)
-    bv = jnp.asarray(_kron_dct(ROWS, b, transpose=False))
-    bh = jnp.asarray(_kron_dct(cw, b, transpose=True))
+    mk = _kron_dct_grid if grid_layout else _kron_dct
+    bv = jnp.asarray(mk(ROWS, b, transpose=False))
+    bh = jnp.asarray(mk(cw, b, transpose=True))
     kernel = functools.partial(_decode_kernel, qss=qss, offset=offset)
     return pl.pallas_call(
         kernel,

@@ -1,0 +1,145 @@
+"""Motion-compensation Pallas kernel.
+
+`ops.motion.compensate` (vmapped dynamic_slice) lowers to an XLA
+gather, which runs near-scalar on this backend (docs/PERF_NOTES.md:
+~9 ns/element) — measured ~60 of the 81 ms honest 8x1080p GOP-encode
+(r4 probe 21), and the same again on the decode side.  This kernel
+reproduces it as the SAD kernel's displacement sweep run in reverse:
+for each displacement (dy, dx), one VMEM roll of the reference slab
+plus a per-pixel mask-accumulate
+
+    pred += (mv_y == dy) & (mv_x == dx) ? rolled : 0
+
+over all (2s+1)^2 displacements.  The masks partition the frame (every
+block has exactly one mv), so the accumulated sum IS the gather —
+pure VPU work, no HBM gathers, one slab read per (tile, channel).
+
+Design notes (same family as sad_kernel.py):
+* grid = (row_tile, channel, dy) with the dx sweep inside the kernel;
+  the out block is revisited across dy (TPU grids are sequential), so
+  the accumulator lives in the output VMEM block;
+* slabs carry an s-row halo, edge-padded at frame boundaries — the
+  reference's out-of-frame boundary fallback (src/IPP_DCT.py:378-395);
+* per-pixel mv maps are precomputed in XLA (cheap broadcast); lane
+  padding gets a sentinel displacement that never matches;
+* `pltpu.roll` handles the unaligned shifts (dynamic lane-dim slices
+  must be 128-aligned, rolls are legal for any shift);
+* tiles are chosen from the divisors of H (multiples of the ME block)
+  to keep slab + temporaries well under the 16 MB scoped-VMEM limit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, k: int) -> int:
+    return -(-x // k) * k
+
+
+def _pick_tile(h: int, w: int, m: int, s: int):
+    """Largest tile height dividing h (multiple of m) whose slab +
+    in-kernel temporaries fit comfortably in scoped VMEM."""
+    w2 = _round_up(w + 2 * s, 128)
+    best = None
+    for th in range(m, h + 1, m):
+        if h % th:
+            continue
+        thp = _round_up(th + 2 * s, 8)
+        # slab + out-acc + 2 mv maps + ~3 live (TH, W2) f32 temporaries
+        need = 4 * w2 * (thp + th + 2 * th + 3 * th)
+        if need <= 6 * 1024 * 1024:
+            best = th
+    return best
+
+
+def _mc_tile_kernel(mvy_ref, mvx_ref, slab_ref, o_ref, *, s: int, th: int,
+                    interpret: bool):
+    dy = pl.program_id(2)
+    n_side = 2 * s + 1
+    roll = jnp.roll if interpret else pltpu.roll
+    r = slab_ref[0, 0]                    # (THP, W2) one channel's slab
+    thp, w2 = r.shape
+    # align halo row dy with tile row 0 (rows y + dy stay inside the
+    # slab because y < TH and dy <= 2s <= THP - TH)
+    row = roll(r, thp - dy, 0)[:th]
+    mvy = mvy_ref[0]                      # (TH, W2) int32 pixel maps
+    mvx = mvx_ref[0]
+    eq_y = (mvy == (dy - s)).astype(jnp.float32)
+
+    @pl.when(dy == 0)
+    def _init():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+    acc = o_ref[0, 0]
+    for dx in range(n_side):
+        rx = row if dx == 0 else roll(row, w2 - dx, 1)
+        m = eq_y * (mvx == (dx - s)).astype(jnp.float32)
+        acc = acc + m * rx
+    o_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("m", "s", "interpret"))
+def mc_apply(ref: jnp.ndarray, mv: jnp.ndarray, m: int, s: int,
+             interpret: bool = False) -> jnp.ndarray:
+    """Motion-compensate `ref` (H, W, 3) float32 with per-block integer
+    MVs (nby, nbx, 2) bounded by the search range s.  Bit-identical to
+    ops.motion.compensate for |mv| <= s (tests/test_pallas.py)."""
+    h, w, _ = ref.shape
+    n_side = 2 * s + 1
+    th = _pick_tile(h, w, m, s)
+    assert th is not None, (h, w, m, s)
+    n_tiles = h // th
+    thp = _round_up(th + 2 * s, 8)
+    w2 = _round_up(w + 2 * s, 128)
+
+    refp = jnp.pad(ref.astype(jnp.float32),
+                   ((s, thp - th - s), (s, w2 - w - s), (0, 0)), mode="edge")
+    # (T, 3, THP, W2) per-channel halo slabs
+    slabs = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(refp, t * th, thp, 0)
+        for t in range(n_tiles)
+    ]).transpose(0, 3, 1, 2)
+
+    # per-pixel mv maps; lane padding gets a sentinel that matches no dx
+    mvy_img = jnp.repeat(jnp.repeat(mv[..., 0], m, 0), m, 1)   # (H, W)
+    mvx_img = jnp.repeat(jnp.repeat(mv[..., 1], m, 0), m, 1)
+    pad_cfg = ((0, 0), (0, w2 - w))
+    mvy_t = jnp.pad(mvy_img, pad_cfg,
+                    constant_values=-(s + 1)).reshape(n_tiles, th, w2)
+    mvx_t = jnp.pad(mvx_img, pad_cfg,
+                    constant_values=-(s + 1)).reshape(n_tiles, th, w2)
+
+    kernel = functools.partial(_mc_tile_kernel, s=s, th=th,
+                               interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, 3, n_side),
+        in_specs=[
+            pl.BlockSpec((1, th, w2), lambda t, c, d: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w2), lambda t, c, d: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, thp, w2), lambda t, c, d: (t, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, w2), lambda t, c, d: (t, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, th, w2), jnp.float32),
+        interpret=interpret,
+    )(mvy_t, mvx_t, slabs)
+
+    # (T, 3, TH, W2) -> (H, W, 3)
+    return out[:, :, :, :w].transpose(0, 2, 3, 1).reshape(h, w, 3)
+
+
+def supports(h: int, w: int, m: int, s: int) -> bool:
+    """Shape gate: some row-tile height must divide evenly and fit."""
+    return (h % m == 0 and w % m == 0
+            and _pick_tile(h, w, m, s) is not None)

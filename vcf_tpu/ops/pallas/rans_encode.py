@@ -68,11 +68,15 @@ def _flat_shift_left(x, off, sg):
     return y
 
 
-def _push_compact(vals, flags, g, sg):
+def _push_compact(vals, flags, g, sg, radix: int = 4):
     """Pack flagged values to the flat front (stable): out[rank_i] =
-    vals[i].  LSB-first radix-4 monotone left-compaction — the flat
-    (G, SG) port of entropy/rans.py _compact4.  Lanes past the flag
-    count hold unspecified residuals."""
+    vals[i].  LSB-first radix-4 (or radix-2) monotone left-compaction —
+    the flat (G, SG) port of entropy/rans.py _compact4.  Lanes past the
+    flag count hold unspecified residuals.
+
+    radix=2 does ~1/3 fewer vector passes per element (1 shifted merge
+    per stage x log2 stages vs 3 x log4): the per-chunk compaction is
+    the wire stitch's dominant cost (r4 probe 27)."""
     s = g * sg
     rank = _flat_rank(flags, g, sg)
     idx = _flat_idx(g, sg)
@@ -80,13 +84,15 @@ def _push_compact(vals, flags, g, sg):
     val = vals
     active = flags
     n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
-    for dig in range((n_stages + 1) // 2):
-        step = 1 << (2 * dig)
-        d = (shift >> (2 * dig)) & 3
+    bits = 1 if radix == 2 else 2
+    mask = (1 << bits) - 1
+    for dig in range(-(-n_stages // bits)):
+        step = 1 << (bits * dig)
+        d = (shift >> (bits * dig)) & mask
         val_new = val
         shift_new = shift
         act_new = active & (d == 0)
-        for j in (1, 2, 3):
+        for j in range(1, radix):
             off = j * step
             if off >= s:
                 continue
@@ -387,20 +393,22 @@ def finish_stream(le: jnp.ndarray):
     return words, n_words, counts
 
 
-def _make_compact_kernel(g2, sg2):
+def _make_compact_kernel(g2, sg2, radix=4):
     def kernel(le_ref, out_ref, cnt_ref):
         le = le_ref[0]
         vals = le & 0xFFFF
         flags = (le >> 16) != 0
-        out_ref[0] = _push_compact(vals, flags, g2, sg2)
+        out_ref[0] = _push_compact(vals, flags, g2, sg2, radix=radix)
         cnt_ref[0, 0:1, :] = jnp.full(
             (1, 128), jnp.sum(jnp.where(flags, 1, 0)), jnp.int32)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "sg2", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "sg2", "radix",
+                                             "interpret"))
 def finish_stream_pallas(le: jnp.ndarray, chunk: int = 32768,
-                         sg2: int = 1024, interpret: bool = False):
+                         sg2: int = 1024, radix: int = 4,
+                         interpret: bool = False):
     """Pallas replacement for `finish_stream`: per-chunk radix-4
     compaction runs INSIDE one kernel (8 in-VMEM stages per chunk vs
     15 XLA ops-per-stage passes of butterfly_compact_chunked), then the
@@ -414,7 +422,7 @@ def finish_stream_pallas(le: jnp.ndarray, chunk: int = 32768,
     g2 = chunk // sg2
     le3 = le.reshape(c, g2, sg2)
     packed, cnts = pl.pallas_call(
-        _make_compact_kernel(g2, sg2),
+        _make_compact_kernel(g2, sg2, radix=radix),
         grid=(c,),
         in_specs=[pl.BlockSpec((1, g2, sg2), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],

@@ -51,16 +51,31 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
     unroll_d = next(u for u in (4, 3, 2, 1) if l_steps % u == 0)
     unroll_e = next(u for u in (5, 4, 3, 2, 1) if l_steps % u == 0)
 
+    use_pallas = jax.default_backend() == "tpu" and sg % 128 == 0
+    use_grid = use_pallas and l_steps % unroll_d == 0
+    # planar + subband-grid closed loop (r4): no layout hops in the
+    # scan, laning by plain reshapes (video/ipp.py _build_planar_gop)
+    use_planar = use_grid and codec._gop_encode_grid_batch is not None
+    from vcf_tpu.ops.pallas.dct_kernel import _chunk_w
+    cw = _chunk_w(w, b)
+
+    def to_lanes(planes):
+        if use_planar:
+            return rans_mod.grid_lanes(planes.reshape(-1, 3, h, w), b,
+                                       s_streams, rows=32, cw=cw)
+        return rans_mod.block_lanes(planes.reshape(-1, h, w, 3), b,
+                                    s_streams)
+
+    gop_enc = (codec._gop_encode_grid_batch if use_planar
+               else codec._gop_encode_batch)
+
     # tables trained once on the clip's planes (frozen side info — the
     # library path does the same via GroupedRANSCodec.freeze_tables)
-    planes0, _ = codec._gop_encode_batch(gops_dev)
-    lanes0 = rans_mod.block_lanes(planes0.reshape(-1, h, w, 3), b, s_streams)
+    planes0, _ = gop_enc(gops_dev)
+    lanes0 = to_lanes(planes0)
     counts0 = np.asarray(rans_mod.group_histograms(lanes0, g))
     freqs_g, cums_g = rans_mod.freqs_from_counts(counts0)
     fg_j, cg_j = jnp.asarray(freqs_g), jnp.asarray(cums_g)
-
-    use_pallas = jax.default_backend() == "tpu" and sg % 128 == 0
-    use_grid = use_pallas and l_steps % unroll_d == 0
 
     # ---- full encode: ME + residual transform + entropy, one program ----
     # (grid layout on TPU: the Pallas raw encode kernel's (L, S) grid is
@@ -71,9 +86,8 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
 
         @jax.jit
         def encode_full(gd):
-            planes, mvs = codec._gop_encode_batch(gd)
-            lanes = rans_mod.block_lanes(
-                planes.reshape(-1, h, w, 3), b, s_streams)
+            planes, mvs = gop_enc(gd)
+            lanes = to_lanes(planes)
             le, st = re_.pallas_encode_grouped_raw(
                 lanes, fg_j, cg_j, unroll=unroll_d, sg=sg)
             return planes, mvs, le, st
@@ -145,6 +159,13 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
     @jax.jit
     def decode_full(wp, cts, stt, mv, le):
         lanes = dec_lanes(wp, cts, stt, le)
+        if use_planar:
+            planes_d = rans_mod.grid_unlanes(
+                lanes, b, (n_frames, 3, h, w), rows=32, cw=cw
+            ).reshape(-1, gop, 3, h, w)
+            recs = codec._gop_decode_grid_batch(planes_d, mv)
+            return jnp.clip(jnp.round(recs), 0, 255).astype(
+                jnp.uint8).transpose(0, 1, 3, 4, 2)
         planes_d = rans_mod.block_unlanes(
             lanes, b, (n_frames, h, w, 3)).reshape(-1, gop, h, w, 3)
         recs = codec._gop_decode_batch(planes_d, mv)

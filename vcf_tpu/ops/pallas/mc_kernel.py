@@ -91,7 +91,18 @@ def mc_apply(ref: jnp.ndarray, mv: jnp.ndarray, m: int, s: int,
     """Motion-compensate `ref` (H, W, 3) float32 with per-block integer
     MVs (nby, nbx, 2) bounded by the search range s.  Bit-identical to
     ops.motion.compensate for |mv| <= s (tests/test_pallas.py)."""
-    h, w, _ = ref.shape
+    return mc_apply_planar(
+        ref.transpose(2, 0, 1), mv, m, s, interpret=interpret
+    ).transpose(1, 2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "s", "interpret"))
+def mc_apply_planar(ref: jnp.ndarray, mv: jnp.ndarray, m: int, s: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Planar variant: (3, H, W) float32 in, (3, H, W) out — the IPP
+    planar device path keeps everything channel-major, so no layout
+    hops around the kernel."""
+    _, h, w = ref.shape
     n_side = 2 * s + 1
     th = _pick_tile(h, w, m, s)
     assert th is not None, (h, w, m, s)
@@ -100,12 +111,13 @@ def mc_apply(ref: jnp.ndarray, mv: jnp.ndarray, m: int, s: int,
     w2 = _round_up(w + 2 * s, 128)
 
     refp = jnp.pad(ref.astype(jnp.float32),
-                   ((s, thp - th - s), (s, w2 - w - s), (0, 0)), mode="edge")
+                   ((0, 0), (s, thp - th - s), (s, w2 - w - s)),
+                   mode="edge")
     # (T, 3, THP, W2) per-channel halo slabs
     slabs = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(refp, t * th, thp, 0)
+        jax.lax.dynamic_slice_in_dim(refp, t * th, thp, 1)
         for t in range(n_tiles)
-    ]).transpose(0, 3, 1, 2)
+    ])
 
     # per-pixel mv maps; lane padding gets a sentinel that matches no dx
     mvy_img = jnp.repeat(jnp.repeat(mv[..., 0], m, 0), m, 1)   # (H, W)
@@ -135,8 +147,8 @@ def mc_apply(ref: jnp.ndarray, mv: jnp.ndarray, m: int, s: int,
         interpret=interpret,
     )(mvy_t, mvx_t, slabs)
 
-    # (T, 3, TH, W2) -> (H, W, 3)
-    return out[:, :, :, :w].transpose(0, 2, 3, 1).reshape(h, w, 3)
+    # (T, 3, TH, W2) -> (3, H, W)
+    return out[:, :, :, :w].transpose(1, 0, 2, 3).reshape(3, h, w)
 
 
 def supports(h: int, w: int, m: int, s: int) -> bool:

@@ -352,6 +352,106 @@ class IPPCodec:
             inter = (d_p + lam * r_p) <= (d_i + lam * r_i)
             return inter.reshape(nby, nbx)
 
+        # ------------------------------------------------------------------
+        # PLANAR + SUBBAND-GRID closed loop (r4 device path): pixels stay
+        # (3, H, W) through the whole scan (no byte-granular layout hops
+        # around the Pallas kernels, which cost ~1-2 ms per P-frame at
+        # 1080p), index planes come out in the grid-tile layout that
+        # `entropy.rans.grid_lanes` consumes with plain reshapes, and MC
+        # runs the planar Pallas kernel.  Bit-identical reconstruction
+        # to the frame-layout path (same HIGHEST color dot, same kron
+        # matmuls with permuted constants, same MC law) — pinned by
+        # tests/test_video.py.  ycocg + deadzone only.
+        # ------------------------------------------------------------------
+        if cfg.color == "ycocg" and cfg.quantizer == "deadzone":
+            enc_g, dec_g = self._build_planar_gop()
+            self._gop_encode_grid_batch = jax.jit(jax.vmap(enc_g))
+            self._gop_decode_grid_batch = jax.jit(jax.vmap(dec_g))
+        else:
+            self._gop_encode_grid_batch = None
+            self._gop_decode_grid_batch = None
+
+    def _build_planar_gop(self, interpret: bool = False):
+        """(gop_encode_planar, gop_decode_planar) closures.  interpret
+        runs the Pallas kernels in interpret mode (CPU parity tests)."""
+        cfg = self.ccfg
+        b, qss = cfg.block_size, cfg.qss
+        m, s = self.vcfg.me_block, self.vcfg.search_range
+        from vcf_tpu.ops.pallas import mc_kernel
+        from vcf_tpu.ops.pallas.dct_kernel import (
+            fused_dct_quantize, fused_dequantize_idct)
+
+        m_fwd = np.asarray(color_ops.YCOCG_FWD, np.float32)
+        m_inv = np.asarray(color_ops.YCOCG_INV, np.float32)
+        lw = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+        def enc_p(img_p):                  # (3, H, W) f32 pixels
+            x = img_p - 128.0
+            ct = jnp.einsum("dc,chw->dhw", jnp.asarray(m_fwd), x,
+                            precision=jax.lax.Precision.HIGHEST)
+            return fused_dct_quantize(ct, b=b, qss=qss, offset=128,
+                                      grid_layout=True,
+                                      interpret=interpret)
+
+        def dec_p(k):                      # (3, H, W) u8 grid layout
+            ct = fused_dequantize_idct(k, b=b, qss=qss, offset=128,
+                                       grid_layout=True,
+                                       interpret=interpret)
+            y = jnp.einsum("dc,chw->dhw", jnp.asarray(m_inv), ct,
+                           precision=jax.lax.Precision.HIGHEST) + 128.0
+            return jnp.clip(jnp.round(y), 0.0, 255.0)
+
+        def luma_p(fr):                    # (3, H, W) f32 0..255
+            return jnp.einsum("chw,c->hw", fr, jnp.asarray(lw))
+
+        def compensate_p(ref, mv):
+            if (not interpret and cfg.use_pallas
+                    and jax.default_backend() == "tpu"
+                    and mc_kernel.supports(ref.shape[1], ref.shape[2],
+                                           m, s)):
+                return mc_kernel.mc_apply_planar(ref, mv, m, s)
+            if interpret:
+                return mc_kernel.mc_apply_planar(ref, mv, m, s,
+                                                 interpret=True)
+            return motion.compensate(
+                ref.transpose(1, 2, 0), mv, m, pad=max(s, 8)
+            ).transpose(2, 0, 1)
+
+        def gop_encode_planar(gop_frames):  # (T, H, W, 3) u8
+            fp = gop_frames.transpose(0, 3, 1, 2).astype(jnp.float32)
+            k0 = enc_p(fp[0])
+            recon0 = dec_p(k0)
+
+            def step(ref, frame_p):
+                cur = frame_p
+                ref_l = luma_p(jnp.round(ref))
+                cur_l = luma_p(frame_p)
+                mv, _ = self._make_search(*cur_l.shape)(ref_l, cur_l)
+                pred = compensate_p(ref, mv)
+                residual = jnp.clip(cur - pred + 128.0, 0.0, 255.0)
+                k = enc_p(residual)
+                recon = jnp.clip(pred + dec_p(k) - 128.0, 0.0, 255.0)
+                return recon, (k, mv)
+
+            _, (ks, mvs) = jax.lax.scan(step, recon0, fp[1:])
+            planes = jnp.concatenate([k0[None], ks], axis=0)
+            return planes, mvs             # planes (T, 3, H, W) u8 grid
+
+        def gop_decode_planar(planes, mvs):
+            recon0 = dec_p(planes[0])
+
+            def step(ref, inp):
+                k, mv = inp
+                pred = compensate_p(ref, mv)
+                recon = jnp.clip(pred + dec_p(k) - 128.0, 0.0, 255.0)
+                return recon, recon
+
+            _, recs = jax.lax.scan(step, recon0, (planes[1:], mvs))
+            return jnp.concatenate([recon0[None], recs], axis=0)
+
+        return gop_encode_planar, gop_decode_planar
+
+
     # ------------------------------------------------------------------
     def encode(self, frames: np.ndarray) -> CodeStream:
         vcfg = self.vcfg

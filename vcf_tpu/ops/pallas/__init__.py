@@ -15,7 +15,14 @@ equivalence is enforced by tests (tests/test_pallas.py runs both in
 interpreter mode on CPU).
 """
 
-from vcf_tpu.ops.pallas.dct_kernel import fused_dct_quantize, fused_dequantize_idct
+from vcf_tpu.ops.pallas.dct_kernel import (
+    fused_dct_quantize,
+    fused_dct_quantize_any,
+    fused_dequantize_idct,
+    fused_dequantize_idct_any,
+)
 from vcf_tpu.ops.pallas.sad_kernel import sad_search
 
-__all__ = ["fused_dct_quantize", "fused_dequantize_idct", "sad_search"]
+__all__ = ["fused_dct_quantize", "fused_dct_quantize_any",
+           "fused_dequantize_idct", "fused_dequantize_idct_any",
+           "sad_search"]

@@ -102,11 +102,12 @@ class BatchCodec:
             ct = fwd(x)
             from vcf_tpu.ops.pallas import dct_kernel as _dk
 
-            if self._pallas_ok and _dk.supports(*ct.shape[:2]):
-                from vcf_tpu.ops.pallas import fused_dct_quantize
+            if self._pallas_ok and _dk.supports_padded(*ct.shape[:2], b):
+                from vcf_tpu.ops.pallas import fused_dct_quantize_any
 
                 planes = ct.transpose(2, 0, 1)  # planar for lane efficiency
-                k_u8 = fused_dct_quantize(planes, b=b, qss=cfg.qss, offset=soff)
+                k_u8 = fused_dct_quantize_any(planes, b=b, qss=cfg.qss,
+                                              offset=soff)
                 k_img = k_u8.transpose(1, 2, 0)
                 if cfg.subbands:
                     # pure permutation of stored indexes — commutes with
@@ -124,14 +125,15 @@ class BatchCodec:
         def decode_one(k_u8):
             from vcf_tpu.ops.pallas import dct_kernel as _dk
 
-            if self._pallas_ok and _dk.supports(*k_u8.shape[:2]):
-                from vcf_tpu.ops.pallas import fused_dequantize_idct
+            if self._pallas_ok and _dk.supports_padded(*k_u8.shape[:2], b):
+                from vcf_tpu.ops.pallas import fused_dequantize_idct_any
 
                 k_img = k_u8
                 if cfg.subbands:
                     k_img = dct_ops.from_subbands(k_img, b)
                 planes = k_img.transpose(2, 0, 1)
-                ct = fused_dequantize_idct(planes, b=b, qss=cfg.qss, offset=soff)
+                ct = fused_dequantize_idct_any(planes, b=b, qss=cfg.qss,
+                                               offset=soff)
                 y = inv(ct.transpose(1, 2, 0)) + soff
                 return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
             k = k_u8.astype(jnp.int32) - soff

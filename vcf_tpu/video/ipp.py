@@ -142,7 +142,7 @@ class IPPCodec:
                 return False
             from vcf_tpu.ops.pallas import dct_kernel as _dk
 
-            return _dk.supports(h_, w_)
+            return _dk.supports_padded(h_, w_, cfg.block_size)
 
         def enc(img_f32):
             x = img_f32 - 128.0
@@ -151,9 +151,9 @@ class IPPCodec:
             # closed-loop transforms are the GOP encode's dominant cost
             # at 1080p (measured 48 ms/8 frames unfused vs ~14 fused)
             if _fused_ok(*img_f32.shape[:2]):
-                from vcf_tpu.ops.pallas import fused_dct_quantize
+                from vcf_tpu.ops.pallas import fused_dct_quantize_any
 
-                k = fused_dct_quantize(
+                k = fused_dct_quantize_any(
                     ct.transpose(2, 0, 1), b=b, qss=qss, offset=128
                 ).transpose(1, 2, 0)
                 if cfg.subbands:
@@ -168,12 +168,12 @@ class IPPCodec:
 
         def dec(k_u8):
             if _fused_ok(*k_u8.shape[:2]):
-                from vcf_tpu.ops.pallas import fused_dequantize_idct
+                from vcf_tpu.ops.pallas import fused_dequantize_idct_any
 
                 k_img = k_u8
                 if cfg.subbands:
                     k_img = dct_ops.from_subbands(k_img, b)
-                ct = fused_dequantize_idct(
+                ct = fused_dequantize_idct_any(
                     k_img.transpose(2, 0, 1), b=b, qss=qss, offset=128
                 ).transpose(1, 2, 0)
                 y = inv(ct) + 128.0

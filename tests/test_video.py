@@ -265,3 +265,35 @@ class TestPlanarGridGOP:
         back = np.asarray(rans.grid_unlanes(lanes, 8, planes.shape,
                                             rows=32, cw=cw))
         np.testing.assert_array_equal(back, np.asarray(planes))
+
+
+class TestIIILloydMax:
+    def test_roundtrip_per_frame_entropy(self):
+        """III now batches lloydmax through BatchCodec (per-frame
+        trained levels ride as f*.q_levels sidecars)."""
+        frames = make_video(4, 64, 80, seed=11)
+        vcfg = VideoConfig(mode="iii", n_frames=4)
+        ccfg = CodecConfig(quantizer="lloydmax", qss=32, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        assert codec._batch is not None
+        cs = codec.encode(frames)
+        assert "f0000.q_levels" in cs
+        rec = video.get(vcfg, ccfg).decode(
+            CodeStream.from_bytes(cs.to_bytes()))
+        assert rec.shape == frames.shape
+        assert metrics.rmse(frames, rec) < 8.0
+
+    def test_matches_per_frame_codec(self):
+        """Clip reconstruction equals the per-frame Codec path
+        (BatchCodec lloydmax is byte-identical to Codec)."""
+        from vcf_tpu.pipeline import Codec
+
+        frames = make_video(3, 64, 80, seed=12)
+        vcfg = VideoConfig(mode="iii", n_frames=3)
+        ccfg = CodecConfig(quantizer="lloydmax", qss=32, entropy="zlib")
+        codec = video.get(vcfg, ccfg)
+        rec = codec.decode(codec.encode(frames))
+        still = Codec(ccfg)
+        for i in range(3):
+            np.testing.assert_array_equal(
+                rec[i], still.decode(still.encode(frames[i])), err_msg=f"{i}")

@@ -1116,9 +1116,23 @@ class GroupedRANSCodec(EntropyCodec):
             # per-image tables, trained on device from the lane matrix
             counts = np.asarray(group_histograms(lanes, g))
             freqs_g, cums_g = freqs_from_counts(counts)
-        words, n_words, states, counts = jax_encode_grouped(
-            lanes, jnp.asarray(freqs_g), jnp.asarray(cums_g),
-            with_counts=True)
+        sg = s_streams // g
+        if (jax.default_backend() == "tpu" and sg % 128 == 0
+                and (l * s_streams) % 32768 == 0):
+            # whole-scan Pallas encode + device stitch: same stream
+            # bytes as jax_encode_grouped (two-phase raw kernel docs),
+            # ~8x the XLA scan at bench shapes (r4; honest XLA encode
+            # is ~199 ms / 50M symbols, kernel+stitch ~24 ms)
+            from vcf_tpu.ops.pallas import rans_encode as _re
+
+            le, states = _re.pallas_encode_grouped_raw(
+                lanes, jnp.asarray(freqs_g), jnp.asarray(cums_g),
+                unroll=_pick_unroll(l), sg=sg)
+            words, n_words, counts = _re.finish_stream_pallas(le, radix=2)
+        else:
+            words, n_words, states, counts = jax_encode_grouped(
+                lanes, jnp.asarray(freqs_g), jnp.asarray(cums_g),
+                with_counts=True)
         n_words = int(n_words)
         payload = np.asarray(words[:n_words]).tobytes()
         # v2: per-decode-step renorm counts ride in the sidecar (zlib,

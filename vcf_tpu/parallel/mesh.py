@@ -147,12 +147,16 @@ class BatchCodec:
             return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
 
         spec = P(axis)
+        # check_vma=False: pallas_call outputs carry no varying-axes
+        # metadata, so the vma check rejects the fused-kernel path
+        # inside the manual region (per-shard work has no collectives)
 
         @functools.partial(
             shard_map,
             mesh=self.mesh,
             in_specs=(spec,),
             out_specs=spec,
+            check_vma=False,
             )
         def encode_shard(frames):
             return jax.vmap(encode_one)(frames)
@@ -162,6 +166,7 @@ class BatchCodec:
             mesh=self.mesh,
             in_specs=(spec,),
             out_specs=spec,
+            check_vma=False,
             )
         def decode_shard(planes):
             return jax.vmap(decode_one)(planes)

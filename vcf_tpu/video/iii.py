@@ -42,7 +42,7 @@ class IIICodec:
         self._batch = None
         if (
             codec_config.spatial == "dct"
-            and codec_config.quantizer == "deadzone"
+            and codec_config.quantizer in ("deadzone", "lloydmax")
             and codec_config.filter == "none"
         ):
             from vcf_tpu.parallel.mesh import BatchCodec, make_mesh
@@ -60,6 +60,7 @@ class IIICodec:
         if self._batch is not None:
             # one sharded device dispatch for the whole clip
             planes = self._batch.encode_planes(frames)
+            levels = self._batch.last_qside.get("levels")
             if batched:
                 # device entropy: code ALL frames' planes in one XLA
                 # program (no per-frame host round trip)
@@ -68,6 +69,8 @@ class IIICodec:
                 cs["clip.payload"] = payload
                 for name, blob in side.items():
                     cs[f"clip.{name}"] = blob
+                if levels is not None:
+                    cs.put_array("clip.q_levels", np.asarray(levels))
             else:
                 for i in range(n):
                     payload, side = self.still.entropy_codec.encode(planes[i])
@@ -77,6 +80,11 @@ class IIICodec:
                     sub = CodeStream()
                     sub.put_shape(frames.shape[1:])
                     cs[f"f{i:04d}.shape"] = sub["shape"]
+                    if levels is not None:
+                        # per-frame trained Lloyd-Max levels (reference
+                        # law: one table per source, LloydMax.py:107-112)
+                        cs.put_array(f"f{i:04d}.q_levels",
+                                     np.asarray(levels[i]))
         else:
             for i, frame in enumerate(frames):
                 sub = self.still.encode(frame)
@@ -107,23 +115,31 @@ class IIICodec:
             }
             planes = self.still.entropy_codec.decode(cs["clip.payload"], side)
             h, w = meta["frame_shape"][:2]
+            qside = ({"levels": cs.get_array("clip.q_levels")}
+                     if "clip.q_levels" in cs else None)
             return self._batch.decode_planes(
-                np.asarray(planes), original_hw=(h, w))
+                np.asarray(planes), original_hw=(h, w), qside=qside)
         if self._batch is not None:
             planes = []
+            levels = []
             for i in range(n):
                 prefix = f"f{i:04d}."
                 side = {
                     name[len(prefix):]: cs[name]
                     for name in cs
                     if name.startswith(prefix)
-                    and name[len(prefix):] not in ("payload", "shape")
+                    and name[len(prefix):] not in ("payload", "shape",
+                                                   "q_levels")
                 }
                 planes.append(
                     self.still.entropy_codec.decode(cs[f"{prefix}payload"], side)
                 )
+                if f"{prefix}q_levels" in cs:
+                    levels.append(cs.get_array(f"{prefix}q_levels"))
             h, w = meta["frame_shape"][:2]
-            return self._batch.decode_planes(np.stack(planes), original_hw=(h, w))
+            qside = {"levels": np.stack(levels)} if levels else None
+            return self._batch.decode_planes(np.stack(planes),
+                                             original_hw=(h, w), qside=qside)
         frames = []
         for i in range(n):
             prefix = f"f{i:04d}."

@@ -140,6 +140,30 @@ def _fetch_fc(sym, thl_c, gc, sg):
     return f_sel, c_sel
 
 
+def _fetch_fc_fused(sym, thl_c, gc, sg):
+    """Single-pass variant of `_fetch_fc` for the raw kernel: ONE
+    (GC, 16, 64) bucket matmul fetches [f_hi|f_lo|c_hi|c_lo] together
+    and ONE low-nibble select loop resolves both f and cum — the
+    16-way select loop is ~4 ms of the 9.6 ms raw encode kernel at
+    bench shapes (r4 probe 67), so halving its passes matters.  The
+    compacting kernel keeps the two-pass `_fetch_fc` (its VMEM stack
+    is already near the 16 MB scoped limit)."""
+    hi = sym >> 4
+    lo_f = (sym & 15).astype(jnp.float32)
+    i16 = jax.lax.broadcasted_iota(jnp.int32, (gc, 16, sg), 1)
+    oh = jnp.where(hi[:, None, :] == i16, 1.0, 0.0).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((0,), (0,)))
+    fetched = jax.lax.dot_general(thl_c, oh, dn,
+                                  preferred_element_type=jnp.float32)
+    f_sel = jnp.zeros((gc, sg), jnp.float32)
+    c_sel = jnp.zeros((gc, sg), jnp.float32)
+    for k in range(16):
+        m = jnp.where(lo_f == float(k), 1.0, 0.0)
+        f_sel += m * (fetched[:, k, :] * 256.0 + fetched[:, 16 + k, :])
+        c_sel += m * (fetched[:, 32 + k, :] * 256.0 + fetched[:, 48 + k, :])
+    return f_sel, c_sel
+
+
 def _encode_body(x, sym, thl_ref, g, sg, gc=8):
     """One encode step on states x (G, SG) i32 (u32 bit pattern) with
     symbols sym (G, SG) i32.  Returns (new_x, word_row i32 (G, SG)
@@ -222,7 +246,8 @@ def _make_kernel_raw(u, g, sg):
             sym = (sin_ref[0] >> (8 * j)) & 255
             gc = math.gcd(g, 8)
             parts = [
-                _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
+                _fetch_fc_fused(sym[ci:ci + gc], thl_ref[ci:ci + gc],
+                                gc, sg)
                 for ci in range(0, g, gc)
             ]
             f_f = jnp.concatenate([p[0] for p in parts], axis=0)

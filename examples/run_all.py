@@ -52,6 +52,14 @@ STILL_SWEEPS = [
     ("dwt-db5-L5", CodecConfig(spatial="dwt", qss=16, entropy="zlib"), ""),
     ("dwt-bior22", CodecConfig(spatial="dwt", wavelet="bior2.2", qss=16,
                                dwt_levels=3, entropy="zlib"), ""),
+    ("dwt-sym5", CodecConfig(spatial="dwt", wavelet="sym5", qss=16,
+                             dwt_levels=3, entropy="zlib"),
+     "near-linear-phase symlet"),
+    ("dwt-bior44-97", CodecConfig(spatial="dwt", wavelet="bior4.4", qss=16,
+                                  dwt_levels=3, entropy="zlib"),
+     "CDF 9/7 (JPEG2000) pair"),
+    ("dwt-coif2", CodecConfig(spatial="dwt", wavelet="coif2", qss=16,
+                              dwt_levels=3, entropy="zlib"), ""),
     # 2D-KLT.ipynb / 2D-MDCT.ipynb / 2D-LBT.ipynb
     ("klt-q16", CodecConfig(spatial="klt", qss=16, entropy="zlib"), ""),
     ("mdct-q16", CodecConfig(spatial="mdct", qss=16, entropy="zlib"), ""),

@@ -171,11 +171,14 @@ def bench_dwt_cbaac(frames, levels=3, order=0):
     t_dev = _timed(dwt_enc_reps, fd) * 2  # analysis+synthesis ~symmetric
 
     # real host round trip through the library path for RD + host time
+    # (ONE encoder and ONE decoder instance: fresh Codec objects build
+    # fresh jit closures and recompile every call)
     codec = Codec(cfg)
+    dec_codec = Codec(cfg)
     t_enc_h, streams = _host_timed(
         lambda: [codec.encode(f) for f in frames], reps=1)
     t_dec_h, recs = _host_timed(
-        lambda: [Codec(cfg).decode(s) for s in streams], reps=1)
+        lambda: [dec_codec.decode(s) for s in streams], reps=1)
     rec = np.stack(recs)
     nbytes = sum(s.total_bytes for s in streams)
     # host_s excludes the device dispatches inside encode(): approximate
@@ -216,10 +219,11 @@ def bench_colorvq(frames, clusters=32):
     t_dev = _timed(kmeans_reps, fd) * n  # one training per frame
 
     codec = Codec(cfg)
+    dec_codec = Codec(cfg)
     t_enc_h, streams = _host_timed(
-        lambda: [Codec(cfg).encode(f) for f in frames], reps=1)
+        lambda: [codec.encode(f) for f in frames], reps=1)
     t_dec_h, recs = _host_timed(
-        lambda: [Codec(cfg).decode(s) for s in streams], reps=1)
+        lambda: [dec_codec.decode(s) for s in streams], reps=1)
     rec = np.stack(recs)
     nbytes = sum(s.total_bytes for s in streams)
     total = t_dev + max(t_enc_h - t_dev, 0.0) + t_dec_h

@@ -160,3 +160,26 @@ def test_mp4_container_optional_pyav(tmp_path):
     assert back.shape == frames.shape
     err = np.sqrt(np.mean((back.astype(float) - frames.astype(float)) ** 2))
     assert err < 12.0  # lossy container, sanity bound
+
+
+def test_filter_only_pipeline(png, tmp_path):
+    """Reference mode: a filter module run standalone is an entropy-only
+    pipeline whose decode applies the filter
+    (src/gaussian_blur.py:45-51).  Config equivalent: every stage
+    'none' + -f gaussian_blur (VERDICT r3 missing #4)."""
+    enc = str(tmp_path / "enc")
+    dec = str(tmp_path / "dec.png")
+    stage_off = ["-T", "no_spatial_transform", "-t", "no_color_transform",
+                 "-a", "no_quantizer", "-c", "PNG"]
+    assert main(["encode", "-o", png, "-e", enc] + stage_off) == 0
+    assert main(["decode", "-e", enc, "-d", dec, "-f", "gaussian_blur",
+                 "-s", "5"] + stage_off[:-2] + ["-c", "PNG"]) == 0
+    orig, rec = read_image(png), read_image(dec)
+    assert rec.shape == orig.shape
+    assert not np.array_equal(rec, orig)          # filter applied
+    # and it is the same blur ops/filters applies directly
+    from vcf_tpu.ops import filters
+    from vcf_tpu.config import CodecConfig
+
+    f = filters.get(CodecConfig(filter="gaussian", filter_size=5))
+    np.testing.assert_array_equal(rec, f(orig))

@@ -25,6 +25,14 @@ CONFIGS = {
     "ycocg_cbaac": CodecConfig(spatial="none", color="ycocg", qss=16, entropy="cbaac"),
     "colorvq_zlib": CodecConfig(spatial="none", color="none", quantizer="colorvq",
                                 entropy="zlib", seed=1),
+    # r4 additions
+    "dwt_sym5_zlib": CodecConfig(spatial="dwt", qss=16, dwt_levels=2,
+                                 wavelet="sym5", entropy="zlib"),
+    "dwt_bior44_zlib": CodecConfig(spatial="dwt", qss=16, dwt_levels=2,
+                                   wavelet="bior4.4", entropy="zlib"),
+    "dct_lloydmax_zlib": CodecConfig(quantizer="lloydmax", qss=32,
+                                     entropy="zlib"),
+    "dct_grans": CodecConfig(entropy="grans"),
 }
 
 

@@ -132,6 +132,9 @@ class IPPCodec:
 
     def _build(self):
         cfg = self.ccfg
+        # always defined so callers can probe for the planar grid path
+        self._gop_encode_grid_batch = None
+        self._gop_decode_grid_batch = None
         if not self.fused:
             return  # generic path drives ops.motion + the still Codec
         b, qss = cfg.block_size, cfg.qss

@@ -189,3 +189,38 @@ class TestDist:
         arr = np.arange(10, dtype=np.float32)
         rep = dist.replicate(arr, mesh8)
         assert rep.sharding.is_fully_replicated
+
+
+class TestShardedVQ:
+    def test_kmeans_sharded_matches_unsharded(self, mesh8):
+        """ONE codebook trained across 8 shards via psum'd Lloyd
+        statistics equals the unsharded trainer with the same seeding
+        (the reference trains one codebook per image,
+        src/VQ.py:110-112; distribution is the BASELINE north star)."""
+        import jax
+        import jax.numpy as jnp
+        from vcf_tpu.ops import vq
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(4096, 12)).astype(np.float32) * 40 + 100
+        key = jax.random.PRNGKey(3)
+        cb_s, lab_s, init = vq.kmeans_sharded(key, x, 16, mesh8)
+        cb_u, lab_u = vq.kmeans(key, jnp.asarray(x), 16,
+                                init_centers=jnp.asarray(init))
+        np.testing.assert_allclose(cb_s, np.asarray(cb_u), atol=1e-3)
+        np.testing.assert_array_equal(lab_s, np.asarray(lab_u))
+
+    def test_mesh_size_invariance(self):
+        """The trained codebook does not depend on the mesh size (same
+        init, additive statistics)."""
+        import jax
+        from vcf_tpu.ops import vq
+        from vcf_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(2048, 8)).astype(np.float32) * 30
+        key = jax.random.PRNGKey(5)
+        cb1, lab1, _ = vq.kmeans_sharded(key, x, 8, make_mesh(1))
+        cb8, lab8, _ = vq.kmeans_sharded(key, x, 8, make_mesh(8))
+        np.testing.assert_allclose(cb1, cb8, atol=1e-3)
+        np.testing.assert_array_equal(lab1, lab8)

@@ -901,10 +901,26 @@ class RANSCodec(EntropyCodec):
         counts = np.bincount(padded, minlength=256)
         freqs = quantize_freqs(counts)
         cums = np.concatenate(([0], np.cumsum(freqs)))[:256].astype(np.uint32)
-        words, n_words, states = jax_encode(
-            jnp.asarray(syms), jnp.asarray(freqs.astype(np.uint32)),
-            jnp.asarray(cums),
-        )
+        sg8 = s_streams // 8
+        if (jax.default_backend() == "tpu" and s_streams % (8 * 128) == 0
+                and (l * s_streams) % 32768 == 0):
+            # Pallas fast path via the grouped kernels with the SAME
+            # table replicated into 8 pseudo-groups — byte-identical
+            # stream and states to jax_encode (state law and (t, s)
+            # emit order are table-layout-independent; pinned by
+            # tests/test_rans.py)
+            from vcf_tpu.ops.pallas import rans_encode as _re
+
+            fg = jnp.asarray(np.repeat(freqs[None], 8, 0).astype(np.uint32))
+            cg = jnp.asarray(np.repeat(cums[None], 8, 0))
+            le, states = _re.pallas_encode_grouped_raw(
+                jnp.asarray(syms), fg, cg, unroll=_pick_unroll(l), sg=sg8)
+            words, n_words, _counts = _re.finish_stream_pallas(le, radix=2)
+        else:
+            words, n_words, states = jax_encode(
+                jnp.asarray(syms), jnp.asarray(freqs.astype(np.uint32)),
+                jnp.asarray(cums),
+            )
         n_words = int(n_words)
         words_np = np.asarray(words[:n_words])
         payload = words_np.tobytes()
@@ -923,10 +939,20 @@ class RANSCodec(EntropyCodec):
         words = np.frombuffer(payload, "<u2", n_words).astype(np.uint16)
         # pad so every dynamic_slice window is in range
         words_padded = np.concatenate([words, np.zeros(s_streams + 16, np.uint16)])
-        syms = jax_decode(
-            jnp.asarray(words_padded), jnp.int32(0),
-            jnp.asarray(states), jnp.asarray(freqs), jnp.asarray(cums), l,
-        )
+        sg8 = s_streams // 8
+        if jax.default_backend() == "tpu" and s_streams % (8 * 128) == 0:
+            # hierarchical grouped decode with replicated pseudo-group
+            # tables (same lane state law; ~2x the flat XLA scan)
+            fg = jnp.asarray(np.repeat(freqs[None], 8, 0))
+            cg = jnp.asarray(np.repeat(cums[None], 8, 0))
+            syms = jax_decode_hier(
+                jnp.asarray(words_padded), jnp.int32(0),
+                jnp.asarray(states), fg, cg, l, unroll=_pick_unroll(l))
+        else:
+            syms = jax_decode(
+                jnp.asarray(words_padded), jnp.int32(0),
+                jnp.asarray(states), jnp.asarray(freqs), jnp.asarray(cums), l,
+            )
         flat = np.asarray(syms).T.reshape(-1)
         return flat[:n]
 

@@ -55,11 +55,15 @@ def kmeans_plus_plus_init(key, x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans(key, x: jnp.ndarray, k: int, iters: int = 25):
+def kmeans(key, x: jnp.ndarray, k: int, iters: int = 25,
+           init_centers=None):
     """Lloyd's k-means.  x: (N, D) float32.  Returns (centroids (K, D),
-    labels (N,) int32), centroids energy-sorted ascending."""
+    labels (N,) int32), centroids energy-sorted ascending.
+    `init_centers` overrides the k-means++ seeding (used by the sharded
+    trainer's exactness tests)."""
     x = x.astype(jnp.float32)
-    centers = kmeans_plus_plus_init(key, x, k)
+    centers = (kmeans_plus_plus_init(key, x, k) if init_centers is None
+               else init_centers.astype(jnp.float32))
 
     def step(_, centers):
         d2 = _pairwise_sqdist(x, centers)
@@ -104,3 +108,65 @@ def blocks_to_image(blocks: jnp.ndarray, h: int, w: int, bs: int, c: int) -> jnp
     x = blocks.reshape(h // bs, w // bs, bs, bs, c)
     x = x.transpose(0, 2, 1, 3, 4)
     return x.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel k-means over a device mesh (BASELINE north star: ONE
+# shared codebook trained across shards, broadcast to all — the
+# reference trains one codebook per image, src/VQ.py:110-112; here the
+# per-iteration sufficient statistics (assignment mass and sums) are
+# psum'd so every device holds identical centroids at every step)
+# ---------------------------------------------------------------------------
+
+def kmeans_sharded(key, x, k: int, mesh, axis: str = "data",
+                   iters: int = 25):
+    """k-means with the data axis sharded over `mesh`.
+
+    x: (N, D) global array (N divisible by the mesh size).  Returns
+    (centroids (K, D) replicated, labels (N,)) — numerically identical
+    to `kmeans(..., init_centers=same_init)` on the unsharded data
+    (psum of per-shard (mass, sums) == global sums; pinned by
+    tests/test_parallel.py).  Seeding: k-means++ over a deterministic
+    global subsample (identical regardless of the mesh size).
+    """
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    x_np = _np.asarray(x, _np.float32)
+    n = x_np.shape[0]
+    stride = max(1, n // max(8 * k, 1))
+    sub = jnp.asarray(x_np[::stride])
+    init = kmeans_plus_plus_init(key, sub, k)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis), P()),
+        out_specs=(P(), P(axis)), check_vma=False)
+    def run(xs, centers):
+        def step(_, c):
+            d2 = _pairwise_sqdist(xs, c)
+            assign = jnp.argmin(d2, axis=1)
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            mass = jax.lax.psum(onehot.sum(axis=0), axis)
+            sums = jax.lax.psum(
+                jnp.dot(onehot.T, xs,
+                        precision=jax.lax.Precision.HIGHEST), axis)
+            return jnp.where(mass[:, None] > 0,
+                             sums / jnp.maximum(mass[:, None], 1.0), c)
+
+        centers = jax.lax.fori_loop(0, iters, step, centers)
+        energy = jnp.sum(centers ** 2, axis=1)
+        order = jnp.argsort(energy)
+        centers = centers[order]
+        labels = jnp.argmin(_pairwise_sqdist(xs, centers),
+                            axis=1).astype(jnp.int32)
+        return centers, labels
+
+    xd = jax.device_put(x_np, NamedSharding(mesh, P(axis)))
+    centers, labels = run(xd, init)
+    return (_np.asarray(jax.device_get(centers)),
+            _np.asarray(jax.device_get(labels)), _np.asarray(init))

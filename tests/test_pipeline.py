@@ -145,12 +145,41 @@ class TestVQ:
 
 
 class TestFilters:
-    @pytest.mark.parametrize("filt", ["gaussian", "nlm"])
+    @pytest.mark.parametrize("filt", ["gaussian", "nlm", "bm3d"])
     def test_filter_runs(self, img_small, filt):
         cfg = CodecConfig(qss=64, entropy="zlib", filter=filt, filter_size=5)
         cs, rec = roundtrip(cfg, img_small)
         assert rec.shape == img_small.shape
         assert rec.dtype == np.uint8
+
+    def test_bm3d_identity_and_denoise(self):
+        """Real BM3D (hard-threshold stage): exact plumbing at
+        threshold ~0 (every group member aggregates back losslessly)
+        and a PSNR gain over both the noisy input and the r1-r3
+        approximation on synthetic noise."""
+        import jax.numpy as jnp
+        from vcf_tpu.ops import filters
+        from vcf_tpu.io import test_image
+
+        rng = np.random.default_rng(1)
+        x = rng.integers(0, 255, size=(32, 48, 3)).astype(np.float32)
+        ident = np.asarray(filters.bm3d(jnp.asarray(x), 1e-9, s=2))
+        assert np.abs(ident - x).max() < 1e-3
+
+        clean = test_image(96, 112, seed=4).astype(np.float32)
+        sigma = 15.0
+        noisy = np.clip(clean + rng.normal(0, sigma, clean.shape), 0, 255)
+
+        def psnr(a, b):
+            mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+            return 10 * np.log10(255 ** 2 / mse)
+
+        den = np.clip(np.asarray(filters.bm3d(jnp.asarray(noisy), sigma)),
+                      0, 255)
+        approx = np.clip(np.asarray(
+            filters.bm3d_approx(jnp.asarray(noisy), sigma)), 0, 255)
+        assert psnr(den, clean) > psnr(noisy, clean) + 3.0
+        assert psnr(den, clean) > psnr(approx, clean)
 
 
 class TestMetrics:

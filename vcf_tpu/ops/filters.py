@@ -126,44 +126,25 @@ def bm3d_approx(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("b", "n_group", "s", "step_phases"))
-def bm3d(img: jnp.ndarray, sigma: float, b: int = 8, n_group: int = 8,
-         s: int = 8, step_phases: int = 2) -> jnp.ndarray:
-    """BM3D hard-threshold stage, gather-free TPU formulation
-    (reference: the `bm3d` package's bm3d_rgb, src/BM3D.py:42-54).
-
-    The real algorithm: for each reference patch, find the N most
-    similar patches in a search window, stack them, 3D-transform
-    (2D block DCT x 1D DCT across the group), hard-threshold at
-    2.7*sigma, invert, and aggregate every group member back at its
-    source location, weighted 1/(1+retained coefficients).
-
-    TPU mapping (no gathers, no sorts — both pathological on this
-    backend, docs/PERF_NOTES.md):
-    * block matching = the MC/SAD displacement-sweep trick: per-block
-      SSDs for all (2s+1)^2 shifts via rolls + box sums, as a
-      `lax.scan` over the displacement list (an unrolled sweep traced
-      a ~20k-op graph that the compiler choked on);
-    * top-N = N passes of argmin+mask over the distance volume;
-    * the group gather AND the aggregation scatter are the same sweep
-      run with per-block selection masks;
-    * `step_phases`^2 shifted reference grids approximate the
-      reference's overlapping patch stride.
-    """
-    x = img.astype(jnp.float32)
-    h0, w0, _ = x.shape
-    xpad = jnp.pad(x, ((0, (-h0) % b), (0, (-w0) % b), (0, 0)),
-                   mode="reflect")
+def _bm3d_stage(noisy, guide, sigma, b, n_group, s, step_phases,
+                wiener: bool):
+    """One BM3D stage.  Matching and (for the Wiener stage) the
+    shrinkage spectrum come from `guide`; the filtered data is `noisy`.
+    Returns the stage estimate (same shape as noisy)."""
+    h0, w0, _ = noisy.shape
+    pady, padx = (-h0) % b, (-w0) % b
+    xpad = jnp.pad(noisy, ((0, pady), (0, padx), (0, 0)), mode="reflect")
+    gpad = jnp.pad(guide, ((0, pady), (0, padx), (0, 0)), mode="reflect")
     h, w, _ = xpad.shape
     nby, nbx = h // b, w // b
     lw = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
 
     disps = [(dy, dx) for dy in range(-s, s + 1) for dx in range(-s, s + 1)]
     disps.sort(key=lambda d: (d != (0, 0), d))      # self first
-    disp_arr = jnp.asarray(np.asarray(disps, np.int32))   # (D, 2)
+    disp_arr = jnp.asarray(np.asarray(disps, np.int32))
     n_disp = len(disps)
     thresh = 2.7 * sigma
+    sig2 = sigma * sigma
     d1 = jnp.asarray(dct_ops.dct_matrix(n_group))
 
     def px(mask_blocks):
@@ -176,59 +157,72 @@ def bm3d(img: jnp.ndarray, sigma: float, b: int = 8, n_group: int = 8,
 
     for (oy, ox) in offs:
         xs = jnp.roll(xpad, (-oy, -ox), (0, 1))
-        luma = jnp.einsum("hwc,c->hw", xs, lw)
+        gs = jnp.roll(gpad, (-oy, -ox), (0, 1))
+        luma = jnp.einsum("hwc,c->hw", gs, lw)
 
         def dist_body(_, d):
             shifted = jnp.roll(luma, (-d[0], -d[1]), (0, 1))
             dblk = ((luma - shifted) ** 2).reshape(nby, b, nbx, b).sum((1, 3))
             return 0, dblk
 
-        _, dvol = jax.lax.scan(dist_body, 0, disp_arr)   # (D, nby, nbx)
+        _, dvol = jax.lax.scan(dist_body, 0, disp_arr)
 
-        # top-N selection (slot 0 = self)
         sel_idx = []
         dwork = dvol.at[0].set(-1.0)
         for _ in range(n_group):
-            idx = jnp.argmin(dwork, axis=0)              # (nby, nbx)
+            idx = jnp.argmin(dwork, axis=0)
             sel_idx.append(idx)
             dwork = jnp.where(
                 jnp.arange(n_disp)[:, None, None] == idx[None], jnp.inf,
                 dwork)
-        sel = jnp.stack(sel_idx)                         # (N, nby, nbx)
+        sel = jnp.stack(sel_idx)                     # (N, nby, nbx)
 
-        # group stack: scan the sweep, accumulating every slot's layer
         def build_body(acc, di_d):
+            accx, accg = acc
             di, d = di_d
-            shifted = jnp.roll(xs, (-d[0], -d[1]), (0, 1))
             m = px((sel == di).astype(jnp.float32).reshape(
                 n_group * nby, nbx)).reshape(n_group, h, w, 1)
-            return acc + m * shifted[None], None
+            sx = jnp.roll(xs, (-d[0], -d[1]), (0, 1))
+            accx = accx + m * sx[None]
+            if wiener:
+                sg_ = jnp.roll(gs, (-d[0], -d[1]), (0, 1))
+                accg = accg + m * sg_[None]
+            return (accx, accg), None
 
         acc0 = jnp.zeros((n_group, h, w, 3), jnp.float32)
-        grp, _ = jax.lax.scan(
-            build_body, acc0, (jnp.arange(n_disp), disp_arr))
+        (grp, grp_g), _ = jax.lax.scan(
+            build_body, (acc0, acc0), (jnp.arange(n_disp), disp_arr))
 
-        # 3D transform + hard threshold
         coeff2 = jax.vmap(lambda g: dct_ops.analyze(g, b))(grp)
         coeff3 = jnp.einsum("mn,nhwc->mhwc", d1, coeff2,
                             precision=jax.lax.Precision.HIGHEST)
-        keep = jnp.abs(coeff3) >= thresh
-        # always keep each block's spatial DC in the group-DC layer
-        # (keeping the WHOLE layer re-injects the group mean's noise)
-        dcpos = np.zeros((b, b), bool)
-        dcpos[0, 0] = True
-        dc_hw = jnp.asarray(np.tile(dcpos, (h // b, w // b)))[..., None]
-        keep = keep.at[0].set(keep[0] | dc_hw)
-        coeff3 = jnp.where(keep, coeff3, 0.0)
-        nret = keep.reshape(n_group, nby, b, nbx, b, 3).sum(
-            (0, 2, 4, 5)).astype(jnp.float32)
-        wgt = 1.0 / (1.0 + nret)                         # (nby, nbx)
+        if wiener:
+            cg2 = jax.vmap(lambda g: dct_ops.analyze(g, b))(grp_g)
+            cg3 = jnp.einsum("mn,nhwc->mhwc", d1, cg2,
+                             precision=jax.lax.Precision.HIGHEST)
+            wsh = cg3 * cg3 / (cg3 * cg3 + sig2)     # Wiener spectrum
+            coeff3 = coeff3 * wsh
+            # aggregation weight ~ 1 / sum(W^2) per group (standard)
+            wsum = wsh.reshape(n_group, nby, b, nbx, b, 3).sum(
+                (0, 2, 4, 5)) ** 2
+            wgt = 1.0 / (1e-2 + wsum / (n_group * b * b * 3))
+        else:
+            keep = jnp.abs(coeff3) >= thresh
+            # always keep each block's spatial DC in the group-DC layer
+            dcpos = np.zeros((b, b), bool)
+            dcpos[0, 0] = True
+            dc_hw = jnp.asarray(np.tile(dcpos, (nby, nbx)))[..., None]
+            keep = keep.at[0].set(keep[0] | dc_hw)
+            coeff3 = jnp.where(keep, coeff3, 0.0)
+            nret = keep.reshape(n_group, nby, b, nbx, b, 3).sum(
+                (0, 2, 4, 5)).astype(jnp.float32)
+            wgt = 1.0 / (1.0 + nret)
+
         # inverse 1D transform: out_n = sum_m d1[m, n] * c_m = d1^T c
         inv2 = jnp.einsum("mn,mhwc->nhwc", d1, coeff3,
                           precision=jax.lax.Precision.HIGHEST)
         est = jax.vmap(lambda g: dct_ops.synthesize(g, b))(inv2)
 
-        # aggregate every member back at its source (reverse sweep)
         wpx = px(wgt)
 
         def scatter_body(carry, di_d):
@@ -237,9 +231,9 @@ def bm3d(img: jnp.ndarray, sigma: float, b: int = 8, n_group: int = 8,
             m = px((sel == di).astype(jnp.float32).reshape(
                 n_group * nby, nbx)).reshape(n_group, h, w, 1)
             contrib = jnp.sum(est * m, axis=0) * wpx
-            wsum = jnp.sum(m, axis=0) * wpx
+            wsum_ = jnp.sum(m, axis=0) * wpx
             oacc = oacc + jnp.roll(contrib, (d[0] + oy, d[1] + ox), (0, 1))
-            wacc = wacc + jnp.roll(wsum, (d[0] + oy, d[1] + ox), (0, 1))
+            wacc = wacc + jnp.roll(wsum_, (d[0] + oy, d[1] + ox), (0, 1))
             return (oacc, wacc), None
 
         (out_acc, wt_acc), _ = jax.lax.scan(
@@ -248,6 +242,38 @@ def bm3d(img: jnp.ndarray, sigma: float, b: int = 8, n_group: int = 8,
 
     out = out_acc / jnp.maximum(wt_acc, 1e-6)
     return out[:h0, :w0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "n_group", "s", "step_phases",
+                              "stages"))
+def bm3d(img: jnp.ndarray, sigma: float, b: int = 8, n_group: int = 8,
+         s: int = 8, step_phases: int = 2, stages: int = 2) -> jnp.ndarray:
+    """Real two-stage BM3D, gather- and sort-free TPU formulation
+    (reference: the `bm3d` package's bm3d_rgb, src/BM3D.py:42-54).
+
+    Stage 1 (hard threshold): for each reference patch, the N most
+    similar patches in a (2s+1)^2 window are stacked, 3D-transformed
+    (2D block DCT x 1D DCT across the group), hard-thresholded at
+    2.7*sigma, inverted, and every member aggregates back at its source
+    weighted 1/(1+retained).  Stage 2 (Wiener): matching and the
+    shrinkage spectrum come from the stage-1 estimate,
+    W = C1^2/(C1^2 + sigma^2) applied to the noisy groups.
+
+    TPU mapping (no gathers, no sorts — both pathological on this
+    backend, docs/PERF_NOTES.md): block matching is the MC/SAD
+    displacement-sweep trick (lax.scan of rolls + box sums); top-N is
+    N argmin+mask passes; the group gather AND the aggregation scatter
+    are the same sweep with per-block selection masks; `step_phases`^2
+    shifted grids approximate the reference's overlapping stride.
+    """
+    x = img.astype(jnp.float32)
+    est = _bm3d_stage(x, x, sigma, b, n_group, s, step_phases,
+                      wiener=False)
+    if stages < 2:
+        return est
+    return _bm3d_stage(x, est, sigma, b, n_group, s, step_phases,
+                       wiener=True)
 
 
 def get(config):

@@ -535,3 +535,59 @@ def test_block_lanes_equals_subband_lanes_composed():
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(via_sb))
     back = rans.block_unlanes(direct, 8, planes.shape)
     np.testing.assert_array_equal(np.asarray(back), planes)
+
+
+class TestCtxRANS:
+    def test_np_mirror_pins_xla_encode(self):
+        """jax_encode_ctx must match the per-symbol numpy reference
+        (word order, states) exactly."""
+        from vcf_tpu.entropy.rans import (
+            np_encode_ctx, jax_encode_ctx, ctx_group_histograms,
+            ctx_freqs_from_counts, subband_lanes)
+
+        rng = np.random.default_rng(3)
+        base = np.full((1, 32, 48, 3), 128, np.int32)
+        noise = rng.integers(-6, 7, size=base.shape) * (
+            rng.random(base.shape) < 0.3)
+        planes = np.clip(base + noise, 0, 255).astype(np.uint8)
+        s = 64 * 2
+        lanes = np.asarray(subband_lanes(jnp.asarray(planes), 8, s))
+        counts = np.asarray(ctx_group_histograms(jnp.asarray(lanes), 64))
+        fgc, cgc = ctx_freqs_from_counts(counts)
+        wn, xn = np_encode_ctx(lanes, fgc)
+        wj, nj, xj, _ = jax_encode_ctx(jnp.asarray(lanes),
+                                       jnp.asarray(fgc), jnp.asarray(cgc))
+        np.testing.assert_array_equal(wn, np.asarray(wj)[:int(nj)])
+        np.testing.assert_array_equal(xn, np.asarray(xj))
+
+    def test_roundtrip_and_context_gain(self):
+        """cgrans round-trips exactly and its STREAM (ex-sidecar) is
+        smaller than order-0 grans on context-correlated planes."""
+        from vcf_tpu.entropy.rans import CtxRANSCodec, GroupedRANSCodec
+
+        rng = np.random.default_rng(4)
+        # x-runs per channel -> strong left-neighbor correlation (the
+        # ctx laning's lane-predecessor is the left-adjacent block)
+        # lane-adjacent symbols sit 8 px apart (same in-block position
+        # of adjacent blocks), so use runs much longer than one block
+        runs = np.repeat(rng.integers(120, 137, size=(3, 512)), 64,
+                         axis=1)[:, :24576]
+        planes = runs.reshape(3, 128, 192).transpose(1, 2, 0)[None].astype(
+            np.uint8)
+        c = CtxRANSCodec()
+        c.MIN_SYMBOLS = 0          # force the context path for the test
+        p, s = c.encode(planes)
+        np.testing.assert_array_equal(c.decode(p, s), planes)
+        g = GroupedRANSCodec()
+        pg, _ = g.encode(planes)
+        assert len(p) < len(pg), (len(p), len(pg))
+
+    def test_small_input_delegates(self):
+        from vcf_tpu.entropy.rans import CtxRANSCodec
+
+        rng = np.random.default_rng(5)
+        planes = rng.integers(0, 255, size=(16, 24, 3)).astype(np.uint8)
+        c = CtxRANSCodec()
+        p, s = c.encode(planes)
+        assert s["cgrans_model"][0] == 0       # delegated to order-0
+        np.testing.assert_array_equal(c.decode(p, s), planes)

@@ -60,7 +60,7 @@ ENTROPY_ALIASES = {
     "tiff": "tiff", "png": "png", "pnm": "pnm",
     "z_lib": "zlib", "zlib": "zlib",
     "huffman": "huffman", "ihuff": "ihuff", "rans": "rans", "srans": "srans",
-    "grans": "grans",
+    "grans": "grans", "cgrans": "cgrans",
     "cbahc": "cbahc", "cbaac": "cbaac",
 }
 

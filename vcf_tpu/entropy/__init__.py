@@ -22,8 +22,8 @@ from vcf_tpu.entropy.png import PNGCodec
 from vcf_tpu.entropy.tiff import TIFFCodec
 from vcf_tpu.entropy.huffman import HuffmanCodec
 from vcf_tpu.entropy.interleaved import InterleavedHuffmanCodec
-from vcf_tpu.entropy.rans import (GroupedRANSCodec, RANSCodec,
-                                  SparseRANSCodec)
+from vcf_tpu.entropy.rans import (CtxRANSCodec, GroupedRANSCodec,
+                                  RANSCodec, SparseRANSCodec)
 from vcf_tpu.entropy.cbahc import CBAHCCodec
 from vcf_tpu.entropy.cbaac import CBAACCodec
 
@@ -37,6 +37,7 @@ _REGISTRY = {
     "rans": RANSCodec,
     "srans": SparseRANSCodec,
     "grans": GroupedRANSCodec,
+    "cgrans": CtxRANSCodec,
     "cbahc": CBAHCCodec,
     "cbaac": CBAACCodec,
 }

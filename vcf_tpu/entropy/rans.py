@@ -690,6 +690,8 @@ def block_lanes_mm(planes: jnp.ndarray, b: int, s_streams: int) -> jnp.ndarray:
     g = b * b
     sg = s_streams // g
     r = n * (h // b)
+    assert h % b == 0 and w % b == 0 and (
+        r * (w // b) * c) % sg == 0, (planes.shape, s_streams)
     v = planes.reshape(r, b, w * c)                    # (R, gy, W*C)
     q = jnp.asarray(_interleave_qmats(b, w, c))
     sb = jnp.einsum(
@@ -735,9 +737,12 @@ def grid_lanes(planes_grid: jnp.ndarray, b: int, s_streams: int,
     sg = s_streams // g
     j_t, k_t = h // rows, w // cw
     br, bc = rows // b, cw // b
+    n_g = n * c * j_t * br * k_t * bc
+    assert h % rows == 0 and w % cw == 0 and n_g % sg == 0, (
+        planes_grid.shape, s_streams, rows, cw)
     x = planes_grid.reshape(n, c, j_t, b, br, k_t, b, bc)
     xt = x.transpose(3, 6, 0, 1, 2, 4, 5, 7)   # (gy, gx, N, C, J, BR, K, BC)
-    l = (n * c * j_t * br * k_t * bc) // sg
+    l = n_g // sg
     return xt.reshape(g, sg, l).reshape(g * sg, l)
 
 
@@ -754,6 +759,214 @@ def grid_unlanes(syms: jnp.ndarray, b: int, shape,
     xt = syms.reshape(g, sg * l).reshape(b, b, n, c, j_t, br, k_t, bc)
     x = xt.transpose(2, 3, 4, 0, 5, 6, 1, 7)   # (N, C, J, gy, BR, K, gx, BC)
     return x.reshape(n, c, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Order-1 context modeling ("cgrans"): one table per (subband, class of
+# the previous symbol in the same lane).  In the lane layouts used here
+# consecutive lane positions are spatially adjacent blocks, so the
+# previous symbol is the same DCT coefficient of the neighboring block
+# — measured 8% rate over order-0 grouped tables with the 4-class
+# context on the 1080p bench planes (19% with 15 classes;
+# docs/BENCH_SUMMARY.md).  Beyond the reference's capability set: its
+# context coders (CBAHC/CBAAC) are host-sequential; this one keeps the
+# interleaved-rANS lane parallelism.
+# ---------------------------------------------------------------------------
+
+def subband_lanes_ctx(planes: jnp.ndarray, b: int,
+                      s_streams: int) -> jnp.ndarray:
+    """(N, H, W, C) SUBBAND-layout planes (the DCT flow's storage
+    format, like subband_lanes) -> (S, L) lanes with the same
+    per-coefficient groups but a LANE-MAJOR, x-adjacent block order:
+    lane j of group g codes blocks f = j*L + t with f enumerating
+    (channel, frame, block_row, block_col) raster — so a lane's
+    PREVIOUS symbol is the same coefficient of the spatially
+    left-adjacent block (the context the order-1 tables condition on).
+    Pure reshapes/transposes."""
+    n, h, w, c = planes.shape
+    g = b * b
+    sg = s_streams // g
+    sb = planes.reshape(n, b, h // b, b, w // b, c)
+    sb = sb.transpose(1, 3, 5, 0, 2, 4).reshape(g, -1)  # (G, f=(c,n,by,bx))
+    l = sb.shape[1] // sg
+    return sb.reshape(g, sg, l).reshape(g * sg, l)
+
+
+def subband_unlanes_ctx(syms: jnp.ndarray, b: int, shape) -> jnp.ndarray:
+    """Inverse of subband_lanes_ctx: (S, L) -> (N, H, W, C)."""
+    n, h, w, c = shape
+    g = b * b
+    s_streams, l = syms.shape
+    sg = s_streams // g
+    sb = syms.reshape(g, sg * l).reshape(b, b, c, n, h // b, w // b)
+    return sb.transpose(3, 0, 4, 1, 5, 2).reshape(n, h, w, c)
+
+
+N_CTX = 4
+
+
+def ctx_class(prev: jnp.ndarray) -> jnp.ndarray:
+    """Previous symbol -> context class by |prev - 128|:
+    {0} -> 0, {1} -> 1, {2..4} -> 2, {>=5} -> 3.  (128 is the stored
+    zero index of every quantized plane in this codec family.)"""
+    d = jnp.abs(prev.astype(jnp.int32) - 128)
+    return jnp.where(d == 0, 0, jnp.where(d == 1, 1,
+                                          jnp.where(d <= 4, 2, 3)))
+
+
+def np_encode_ctx(syms: np.ndarray, freqs_gc: np.ndarray):
+    """Reference mirror of jax_encode_ctx (same word order conventions
+    as np_encode; tests pin the XLA path against this)."""
+    s_streams, l = syms.shape
+    g = freqs_gc.shape[0]
+    sg = s_streams // g
+    cums = np.concatenate([np.zeros((g, N_CTX, 1), np.uint64),
+                           np.cumsum(freqs_gc, axis=2)], axis=2)
+    x = np.full(s_streams, RANS_L, np.uint64)
+    emitted = []
+    for t in range(l - 1, -1, -1):
+        for s in range(s_streams - 1, -1, -1):
+            gi = s // sg
+            if t == 0:
+                c = 0
+            else:
+                d = abs(int(syms[s, t - 1]) - 128)
+                c = 0 if d == 0 else (1 if d == 1 else (2 if d <= 4 else 3))
+            v = int(syms[s, t])
+            f = int(freqs_gc[gi, c, v])
+            if (x[s] >> _SHIFT_EMIT) >= f:
+                emitted.append(int(x[s] & 0xFFFF))
+                x[s] >>= 16
+            x[s] = (x[s] // f << K_PROB) + (x[s] % f) + int(cums[gi, c, v])
+    return np.asarray(emitted[::-1], np.uint16), x.astype(np.uint32)
+
+
+def ctx_group_histograms(lanes: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(S, L) symbols -> (G, N_CTX, 256) raw counts of (class, symbol)
+    pairs per group (scatter-free: one 1024-bin equality histogram per
+    group over the combined index)."""
+    from vcf_tpu.ops.hist import histogram
+
+    s_streams, l = lanes.shape
+    sg = s_streams // g
+    prev = jnp.concatenate(
+        [jnp.full((s_streams, 1), 128, lanes.dtype), lanes[:, :-1]], axis=1)
+    joint = ctx_class(prev) * 256 + lanes.astype(jnp.int32)  # (S, L)
+    jg = joint.reshape(g, sg * l)
+    out = jax.vmap(lambda row: histogram(row, 1024))(jg)
+    return out.reshape(g, N_CTX, 256)
+
+
+def ctx_freqs_from_counts(counts_gc: np.ndarray):
+    """(G, N_CTX, 256) counts -> quantized (freqs_gc, cums_gc) u32."""
+    g = counts_gc.shape[0]
+    freqs = np.stack([
+        np.stack([quantize_freqs(np.asarray(counts_gc[gi, c]), min_all=True)
+                  for c in range(N_CTX)])
+        for gi in range(g)
+    ]).astype(np.uint32)
+    cums = np.concatenate(
+        [np.zeros((g, N_CTX, 1), np.uint32),
+         np.cumsum(freqs, axis=2)[:, :, :255].astype(np.uint32)], axis=2)
+    return freqs, cums
+
+
+@jax.jit
+def jax_encode_ctx(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
+                   cums_gc: jnp.ndarray):
+    """Order-1 grouped encode.  The context is the PREVIOUS symbol in
+    the same lane — static input, so classes precompute and the fetch
+    is the grouped bucket-matmul with (class x hi-nibble) buckets.
+    Same output contract as jax_encode_grouped."""
+    s_streams, l = syms.shape
+    g = freqs_gc.shape[0]
+    sg = s_streams // g
+    prev = jnp.concatenate(
+        [jnp.full((s_streams, 1), 128, syms.dtype), syms[:, :-1]], axis=1)
+    cls = ctx_class(prev)
+    s32 = syms.astype(jnp.int32)
+    fre = freqs_gc.reshape(g, N_CTX * 256).astype(jnp.float32)
+    cue = cums_gc.reshape(g, N_CTX * 256).astype(jnp.float32)
+    t64 = jnp.stack([fre.reshape(g, N_CTX * 16, 16),
+                     cue.reshape(g, N_CTX * 16, 16)], -1)
+
+    def step(x, inp):
+        sym_t, cls_t = inp
+        j = cls_t * 256 + sym_t
+        hi = (j >> 4).reshape(g, sg)
+        lo = (j & 15).reshape(g, sg)
+        oh = (hi[:, :, None]
+              == jnp.arange(N_CTX * 16)[None, None, :]).astype(jnp.float32)
+        fetched = jnp.einsum("gsb,gbkd->gskd", oh, t64,
+                             precision=jax.lax.Precision.HIGHEST)
+        ohlo = (lo[:, :, None]
+                == jnp.arange(16)[None, None, :]).astype(jnp.float32)
+        fc = jnp.einsum("gsk,gskd->gsd", ohlo, fetched,
+                        precision=jax.lax.Precision.HIGHEST)
+        f = fc[..., 0].reshape(s_streams).astype(jnp.uint32)
+        cum = fc[..., 1].reshape(s_streams).astype(jnp.uint32)
+        emit = (x >> jnp.uint32(_SHIFT_EMIT)) >= f
+        low16 = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        x = jnp.where(emit, x >> 16, x)
+        x = ((x // f) << K_PROB) + (x % f) + cum
+        return x, (low16, emit)
+
+    x0 = jnp.full((s_streams,), RANS_L, jnp.uint32)
+    x, (lows, emits) = jax.lax.scan(step, x0, (s32.T[::-1], cls.T[::-1]))
+    words, n_words = _compact_words(lows, emits)
+    counts = jnp.sum(emits.astype(jnp.int32), axis=1)[::-1]
+    return words, n_words, x, counts
+
+
+@functools.partial(jax.jit, static_argnames=("l",))
+def jax_decode_ctx(words_padded: jnp.ndarray, states: jnp.ndarray,
+                   freqs_gc: jnp.ndarray, cums_gc: jnp.ndarray, l: int):
+    """Inverse of jax_encode_ctx.  The class comes from the
+    previously-DECODED symbol per lane (carried through the scan); the
+    class-dependent boundary/delta tables are selected per lane with a
+    small one-hot einsum before the standard ge-resolve."""
+    s_streams = states.shape[0]
+    g = freqs_gc.shape[0]
+    sg = s_streams // g
+    c_f = cums_gc.astype(jnp.float32)                    # (G, C, 256)
+    tab = jnp.stack(
+        [jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32),
+                          (g, N_CTX, 256)),
+         freqs_gc.astype(jnp.float32), c_f], -1)         # (G, C, 256, 3)
+    d_tab = tab - jnp.concatenate(
+        [jnp.zeros((g, N_CTX, 1, 3), jnp.float32), tab[:, :, :-1]], 2)
+
+    def step(carry, _):
+        x, ptr, prev = carry
+        cls = ctx_class(prev).reshape(g, sg)
+        ohc = (cls[:, :, None]
+               == jnp.arange(N_CTX)[None, None, :]).astype(jnp.float32)
+        dt = jnp.einsum("gsc,gcbd->gsbd", ohc, d_tab,
+                        precision=jax.lax.Precision.HIGHEST)
+        bounds = jnp.einsum("gsc,gcb->gsb", ohc, c_f,
+                            precision=jax.lax.Precision.HIGHEST)
+        slot = x & jnp.uint32(MASK)
+        slot_f = slot.astype(jnp.float32).reshape(g, sg)
+        ge = (slot_f[:, :, None] >= bounds).astype(jnp.float32)
+        fetched = jnp.einsum("gsb,gsbd->gsd", ge, dt,
+                             precision=jax.lax.Precision.HIGHEST
+                             ).reshape(s_streams, 3)
+        sym = fetched[:, 0].astype(jnp.uint32)
+        f = fetched[:, 1].astype(jnp.uint32)
+        cum = fetched[:, 2].astype(jnp.uint32)
+        x = f * (x >> K_PROB) + slot - cum
+        renorm = x < jnp.uint32(RANS_L)
+        chunk = jax.lax.dynamic_slice(words_padded, (ptr,), (s_streams,))
+        routed = butterfly_expand(chunk, renorm)
+        x = jnp.where(renorm, (x << 16) | routed, x)
+        ptr = ptr + jnp.sum(renorm.astype(jnp.int32))
+        return (x, ptr, sym.astype(jnp.uint8)), sym.astype(jnp.uint8)
+
+    prev0 = jnp.full((s_streams,), 128, jnp.uint8)
+    (x, ptr, _), out = jax.lax.scan(
+        step, (states.astype(jnp.uint32), jnp.int32(0), prev0), None,
+        length=l)
+    return out.T
 
 
 def subband_group_freqs(planes0: np.ndarray, b: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -1248,6 +1461,85 @@ def unpack_flags(packed: jnp.ndarray) -> jnp.ndarray:
     p = packed.astype(jnp.int32)
     bits = (p[:, None] >> jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0])[None, :]) & 1
     return bits.reshape(-1).astype(bool)
+
+
+class CtxRANSCodec(EntropyCodec):
+    """Order-1 interleaved rANS (``cgrans``): GroupedRANSCodec's
+    per-subband tables, further conditioned on the previous symbol's
+    class in the same lane (ctx_class).  Rate: ~8% under order-0
+    grouped tables on DCT planes at default flags; cost: the tables
+    sidecar is N_CTX x larger and the scans do a class-select per step.
+    Device-resident both ways; non-groupable inputs delegate to the
+    order-0 codec (version byte 0)."""
+
+    file_extension = ".cgrans"
+
+    def __init__(self, block_size: int = 8, n_streams: int = 65536):
+        self.b = block_size
+        self.grouped = GroupedRANSCodec(block_size, n_streams)
+        self.n_streams = n_streams
+
+    @classmethod
+    def from_config(cls, config=None):
+        return cls(block_size=getattr(config, "block_size", 8))
+
+    #: below this many symbols the (G, N_CTX, 256) tables sidecar
+    #: outweighs the ~8% stream saving; delegate to order-0
+    MIN_SYMBOLS = 4_000_000
+
+    def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
+        arr = self.check_dtype(arr)
+        if not self.grouped._groupable(arr) or arr.size < self.MIN_SYMBOLS:
+            payload, side = self.grouped.encode(arr)
+            return payload, {"cgrans_model": b"\x00" + side["grans_model"]}
+        planes = arr.reshape((1,) + arr.shape) if arr.ndim == 3 else arr
+        g = self.b * self.b
+        s_streams = self.grouped.dense._pick_streams(arr.size, self.n_streams)
+        s_streams = max(g, (s_streams // g) * g)
+        l = arr.size // s_streams
+        lanes = subband_lanes_ctx(jnp.asarray(planes), self.b, s_streams)
+        counts_gc = np.asarray(ctx_group_histograms(lanes, g))
+        freqs_gc, cums_gc = ctx_freqs_from_counts(counts_gc)
+        words, n_words, states, counts = jax_encode_ctx(
+            lanes, jnp.asarray(freqs_gc), jnp.asarray(cums_gc))
+        n_words = int(n_words)
+        payload = np.asarray(words[:n_words]).tobytes()
+        counts_z = zlib.compress(
+            np.asarray(counts).astype("<u4").tobytes(), 9)
+        head = struct.pack(f"<BIIIB{arr.ndim}I", 1, s_streams, l, n_words,
+                           arr.ndim, *arr.shape)
+        side = head + struct.pack("<I", len(counts_z)) + counts_z
+        side += np.asarray(states).astype("<u4").tobytes()
+        side += zlib.compress(freqs_gc.astype("<u2").tobytes(), 9)
+        return payload, {"cgrans_model": side}
+
+    def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
+        blob = side["cgrans_model"]
+        if blob[0] == 0:
+            return self.grouped.decode(payload, {"grans_model": blob[1:]})
+        s_streams, l, n_words, ndim = struct.unpack_from("<IIIB", blob, 1)
+        shape = struct.unpack_from(f"<{ndim}I", blob, 14)
+        off = 14 + 4 * ndim
+        (cz_len,) = struct.unpack_from("<I", blob, off)
+        off += 4 + cz_len                       # counts sidecar unused here
+        states = np.frombuffer(blob, "<u4", s_streams, off).astype(np.uint32)
+        off += 4 * s_streams
+        g = self.b * self.b
+        freqs_gc = np.frombuffer(
+            zlib.decompress(blob[off:]), "<u2").astype(np.uint32).reshape(
+                g, N_CTX, 256)
+        cums_gc = np.concatenate(
+            [np.zeros((g, N_CTX, 1), np.uint32),
+             np.cumsum(freqs_gc, axis=2)[:, :, :255].astype(np.uint32)],
+            axis=2)
+        words = np.frombuffer(payload, "<u2", n_words).astype(np.uint16)
+        wpad = np.concatenate([words, np.zeros(s_streams + 16, np.uint16)])
+        lanes = jax_decode_ctx(jnp.asarray(wpad), jnp.asarray(states),
+                               jnp.asarray(freqs_gc), jnp.asarray(cums_gc),
+                               l)
+        full = (1,) + tuple(shape) if ndim == 3 else tuple(shape)
+        out = np.asarray(subband_unlanes_ctx(lanes, self.b, full))
+        return out.reshape(shape)
 
 
 class SparseRANSCodec(EntropyCodec):

@@ -168,3 +168,37 @@ class TestGridLayout:
         assert int(nwp) == nwx
         assert np.array_equal(np.asarray(wp[:nwx]), np.asarray(wx[:nwx]))
         assert np.array_equal(np.asarray(counts), np.asarray(ctx))
+
+
+class TestCtxKernels:
+    def test_ctx_kernels_match_xla(self):
+        """pallas_encode_ctx_raw + finish == jax_encode_ctx stream;
+        pallas_decode_ctx_grid inverts exactly (interpret mode)."""
+        import jax.numpy as jnp
+        from vcf_tpu.entropy.rans import (
+            jax_encode_ctx, ctx_group_histograms, ctx_freqs_from_counts)
+        from vcf_tpu.ops.pallas import rans_ctx
+        from vcf_tpu.ops.pallas import rans_encode as re_
+
+        rng = np.random.default_rng(9)
+        g, sg, l = 64, 4, 12
+        s = g * sg
+        base = np.full((s, l), 128, np.int32)
+        noise = rng.integers(-6, 7, size=base.shape) * (
+            rng.random(base.shape) < 0.4)
+        syms = np.clip(base + noise, 0, 255).astype(np.uint8)
+        counts = np.asarray(ctx_group_histograms(jnp.asarray(syms), g))
+        fgc, cgc = ctx_freqs_from_counts(counts)
+        fj, cj = jnp.asarray(fgc), jnp.asarray(cgc)
+        wx, nx, sx, _ = jax_encode_ctx(jnp.asarray(syms), fj, cj)
+        le, st = rans_ctx.pallas_encode_ctx_raw(
+            jnp.asarray(syms), fj, cj, unroll=4, sg=sg, interpret=True)
+        wk, nk, _ = re_.finish_stream_pallas(le, chunk=256, sg2=64,
+                                             radix=2, interpret=True)
+        assert int(nx) == int(nk)
+        np.testing.assert_array_equal(np.asarray(wx)[:int(nx)],
+                                      np.asarray(wk)[:int(nk)])
+        np.testing.assert_array_equal(np.asarray(sx), np.asarray(st))
+        out = rans_ctx.pallas_decode_ctx_grid(
+            le, st, fj, cj, l, unroll=4, sg=sg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), syms)

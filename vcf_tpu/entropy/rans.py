@@ -1535,7 +1535,10 @@ class CtxRANSCodec(EntropyCodec):
         shape = struct.unpack_from(f"<{ndim}I", blob, 14)
         off = 14 + 4 * ndim
         (cz_len,) = struct.unpack_from("<I", blob, off)
-        off += 4 + cz_len                       # counts sidecar unused here
+        counts = np.frombuffer(
+            zlib.decompress(blob[off + 4: off + 4 + cz_len]), "<u4"
+        ).astype(np.int32)
+        off += 4 + cz_len
         states = np.frombuffer(blob, "<u4", s_streams, off).astype(np.uint32)
         off += 4 * s_streams
         g = self.b * self.b
@@ -1547,10 +1550,31 @@ class CtxRANSCodec(EntropyCodec):
              np.cumsum(freqs_gc, axis=2)[:, :, :255].astype(np.uint32)],
             axis=2)
         words = np.frombuffer(payload, "<u2", n_words).astype(np.uint16)
-        wpad = np.concatenate([words, np.zeros(s_streams + 16, np.uint16)])
-        lanes = jax_decode_ctx(jnp.asarray(wpad), jnp.asarray(states),
-                               jnp.asarray(freqs_gc), jnp.asarray(cums_gc),
-                               l)
+        sg = s_streams // g
+        if (jax.default_backend() == "tpu" and sg % 128 == 0
+                and l % _pick_unroll(l) == 0):
+            # windows-variant ctx kernel (wire path): the per-step
+            # counts sidecar drives the window pre-pass, the class
+            # rides in VMEM scratch (chip-pinned vs jax_decode_ctx)
+            from vcf_tpu.ops.pallas import rans_ctx as _rc
+            from vcf_tpu.ops.pallas import rans_decode as _rd
+
+            cap = sg * max(1, -(-int(counts.max()) // sg))
+            cap = min(cap, s_streams)
+            wpad = np.concatenate(
+                [words, np.zeros(cap + s_streams + 16, np.uint16)])
+            win = _rd.build_windows(jnp.asarray(wpad), jnp.asarray(counts),
+                                    cap)
+            lanes = _rc.pallas_decode_ctx(
+                win, jnp.asarray(states), jnp.asarray(freqs_gc),
+                jnp.asarray(cums_gc), l, cap, unroll=_pick_unroll(l),
+                sg=sg)
+        else:
+            wpad = np.concatenate(
+                [words, np.zeros(s_streams + 16, np.uint16)])
+            lanes = jax_decode_ctx(jnp.asarray(wpad), jnp.asarray(states),
+                                   jnp.asarray(freqs_gc),
+                                   jnp.asarray(cums_gc), l)
         full = (1,) + tuple(shape) if ndim == 3 else tuple(shape)
         out = np.asarray(subband_unlanes_ctx(lanes, self.b, full))
         return out.reshape(shape)

@@ -310,3 +310,97 @@ def pallas_decode_ctx_grid(le: jnp.ndarray, states: jnp.ndarray,
     bytes_ = jnp.stack(
         [(out >> (8 * j)) & 255 for j in range(u)], axis=1)
     return bytes_.astype(jnp.uint8).reshape(l, g * sg).T
+
+
+def _make_ctx_kernel(u, g, sg, wr):
+    """Windows variant: the wire's packed word windows route to
+    renorming lanes in-kernel (rans_decode._pull_expand), with the
+    class carried from the previously decoded symbol."""
+    from vcf_tpu.ops.pallas.rans_decode import _pull_expand
+
+    def kernel(win_ref, st_in_ref, coarse_ref, thl_ref, out_ref, st_ref,
+               prev_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            st_ref[:] = st_in_ref[:]
+            prev_ref[:] = jnp.full((g, sg), 128, jnp.int32)
+
+        x = st_ref[:]
+        prev = prev_ref[:]
+        packed = jnp.zeros((g, sg), jnp.int32)
+        for j in range(u):
+            cls_full = _cls_of(prev)
+            slot = x & MASK
+            slot_f = slot.astype(jnp.float32)
+            gc = math.gcd(g, 8)
+            parts = [
+                _resolve_chunk_ctx(slot_f[ci:ci + gc], cls_full[ci:ci + gc],
+                                   coarse_ref[ci:ci + gc],
+                                   thl_ref[ci:ci + gc], gc, sg)
+                for ci in range(0, g, gc)
+            ]
+            sym = jnp.concatenate([p[0] for p in parts], axis=0)
+            f = jnp.concatenate([p[1] for p in parts], axis=0)
+            cum = jnp.concatenate([p[2] for p in parts], axis=0)
+            x = f * jax.lax.shift_right_logical(x, K_PROB) + slot - cum
+            renorm = jax.lax.shift_right_logical(x, 16) == 0
+            win_rows = win_ref[0, j * wr:(j + 1) * wr, :]
+            if wr < g:
+                win_flat = jnp.concatenate(
+                    [win_rows, jnp.zeros((g - wr, sg), jnp.int32)], axis=0)
+            else:
+                win_flat = win_rows[:g]
+            routed = _pull_expand(win_flat, renorm, g, sg)
+            x = jnp.where(renorm, (x << 16) | routed, x)
+            packed = packed | (sym << (8 * j))
+            prev = sym
+        out_ref[0] = packed
+        st_ref[:] = x
+        prev_ref[:] = prev
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("l", "cap", "unroll", "sg",
+                                             "interpret"))
+def pallas_decode_ctx(windows: jnp.ndarray, states: jnp.ndarray,
+                      freqs_gc: jnp.ndarray, cums_gc: jnp.ndarray,
+                      l: int, cap: int, unroll: int = 4, sg: int = 1024,
+                      interpret: bool = False):
+    """Wire-path context decode: windows (L, cap) i32 from
+    rans_decode.build_windows over the compact stream + per-step
+    counts.  Bit-identical to entropy/rans.jax_decode_ctx."""
+    g = freqs_gc.shape[0]
+    s = states.shape[0]
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and cap % sg == 0 and 1 <= unroll <= 4
+    u, wr = unroll, cap // sg
+    assert wr <= g, (wr, g)
+    coarse, thl = _split_resolve_tables_ctx(cums_gc)
+    win3 = windows.reshape(l // u, u * wr, sg)
+    st2 = jax.lax.bitcast_convert_type(states, jnp.int32).reshape(g, sg)
+    out = pl.pallas_call(
+        _make_ctx_kernel(u, g, sg, wr),
+        grid=(l // u,),
+        in_specs=[
+            pl.BlockSpec((1, u * wr, sg), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, N_CTX, 16), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, N_CTX * 16, 34), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l // u, g, sg), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32),
+                        pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(win3, st2, coarse, thl)
+    bytes_ = jnp.stack(
+        [(out >> (8 * j)) & 255 for j in range(u)], axis=1)
+    return bytes_.astype(jnp.uint8).reshape(l, g * sg).T

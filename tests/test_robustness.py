@@ -70,3 +70,47 @@ class TestDecodeSideValidation:
         stripped.payload = cs.payload  # drop huffman_tree + shape
         with pytest.raises(Exception):
             Codec(cfg).decode(stripped)
+
+
+class TestRANSStreamValidation:
+    """Truncation/corruption on the r4 stream families must raise or
+    produce a detectable mismatch, never crash the process."""
+
+    def test_truncated_grans_payload_raises_or_differs(self, img_small):
+        cfg = CodecConfig(entropy="grans", qss=32)
+        cs = Codec(cfg).encode(img_small)
+        cs2 = CodeStream.from_bytes(cs.to_bytes())
+        cs2[PAYLOAD] = cs2.payload[: max(2, len(cs2.payload) // 4)]
+        try:
+            out = Codec(cfg).decode(cs2)
+            # n_words in the sidecar exceeds the payload: frombuffer
+            # must have raised; if a decoder ever pads instead, the
+            # reconstruction must not silently equal the original
+            ok = np.array_equal(out, Codec(cfg).decode(cs))
+            assert not ok
+        except Exception:
+            pass
+
+    def test_missing_grans_model_raises(self, img_small):
+        cfg = CodecConfig(entropy="grans", qss=32)
+        cs = Codec(cfg).encode(img_small)
+        stripped = CodeStream()
+        stripped.payload = cs.payload
+        with pytest.raises(Exception):
+            Codec(cfg).decode(stripped)
+
+    def test_corrupt_cgrans_sidecar_raises(self):
+        from vcf_tpu.entropy.rans import CtxRANSCodec
+
+        rng = np.random.default_rng(6)
+        runs = np.repeat(rng.integers(120, 137, size=(3, 512)), 64,
+                         axis=1)[:, :24576]
+        planes = runs.reshape(3, 128, 192).transpose(1, 2, 0)[None].astype(
+            np.uint8)
+        c = CtxRANSCodec()
+        c.MIN_SYMBOLS = 0
+        p, s = c.encode(planes)
+        blob = bytearray(s["cgrans_model"])
+        blob[5:9] = (10 ** 9).to_bytes(4, "little")   # absurd lane count
+        with pytest.raises(Exception):
+            c.decode(p, {"cgrans_model": bytes(blob)})

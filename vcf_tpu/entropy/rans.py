@@ -1393,6 +1393,10 @@ class GroupedRANSCodec(EntropyCodec):
             return self.dense.decode(payload, {"rans_model": blob[1:]})
         s_streams, l, n_words, ndim = struct.unpack_from("<IIIB", blob, 1)
         shape = struct.unpack_from(f"<{ndim}I", blob, 14)
+        if int(l) * int(s_streams) != int(np.prod(shape)):
+            raise ValueError(
+                f"grans sidecar inconsistent: {s_streams} lanes x {l} "
+                f"steps != prod{shape} symbols")
         off = 14 + 4 * ndim
         counts = None
         if version >= 2:
@@ -1533,6 +1537,10 @@ class CtxRANSCodec(EntropyCodec):
             return self.grouped.decode(payload, {"grans_model": blob[1:]})
         s_streams, l, n_words, ndim = struct.unpack_from("<IIIB", blob, 1)
         shape = struct.unpack_from(f"<{ndim}I", blob, 14)
+        if int(l) * int(s_streams) != int(np.prod(shape)):
+            raise ValueError(
+                f"cgrans sidecar inconsistent: {s_streams} lanes x {l} "
+                f"steps != prod{shape} symbols")
         off = 14 + 4 * ndim
         (cz_len,) = struct.unpack_from("<I", blob, off)
         counts = np.frombuffer(

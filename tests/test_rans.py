@@ -591,3 +591,17 @@ class TestCtxRANS:
         p, s = c.encode(planes)
         assert s["cgrans_model"][0] == 0       # delegated to order-0
         np.testing.assert_array_equal(c.decode(p, s), planes)
+
+
+def test_cgrans_through_codec(img_small=None):
+    """cgrans is a first-class entropy choice through the Codec/config
+    surface (small inputs delegate to order-0 internally)."""
+    from vcf_tpu import Codec, CodecConfig, CodeStream
+    from vcf_tpu.io import test_image
+
+    img = test_image(96, 112, seed=5)
+    cfg = CodecConfig(entropy="cgrans")
+    c = Codec(cfg)
+    cs = c.encode(img)
+    rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+    assert rec.shape == img.shape

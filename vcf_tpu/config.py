@@ -28,7 +28,7 @@ COLOR_TRANSFORMS = ("ycocg", "ycocg_r", "ycrcb", "cdct", "none")
 QUANTIZERS = ("deadzone", "lloydmax", "vq", "colorvq", "none")
 FILTERS = ("none", "gaussian", "nlm", "bm3d")
 ENTROPY_CODECS = ("tiff", "png", "pnm", "zlib", "huffman", "ihuff", "rans",
-                  "srans", "grans", "cbahc", "cbaac")
+                  "srans", "grans", "cgrans", "cbahc", "cbaac")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,6 +60,10 @@ STILL_SWEEPS = [
      "CDF 9/7 (JPEG2000) pair"),
     ("dwt-coif2", CodecConfig(spatial="dwt", wavelet="coif2", qss=16,
                               dwt_levels=3, entropy="zlib"), ""),
+    ("dct-grans", CodecConfig(entropy="grans"),
+     "per-subband device rANS"),
+    ("dct-cgrans", CodecConfig(entropy="cgrans"),
+     "order-1 context device rANS (delegates to grans on small inputs)"),
     # 2D-KLT.ipynb / 2D-MDCT.ipynb / 2D-LBT.ipynb
     ("klt-q16", CodecConfig(spatial="klt", qss=16, entropy="zlib"), ""),
     ("mdct-q16", CodecConfig(spatial="mdct", qss=16, entropy="zlib"), ""),
@@ -81,7 +85,7 @@ STILL_SWEEPS = [
                                  entropy="zlib"), "-f gaussian_blur -s 5"),
     ("dct-nlm", CodecConfig(qss=64, filter="nlm", entropy="zlib"), ""),
     ("dct-bm3d", CodecConfig(qss=64, filter="bm3d", entropy="zlib"),
-     "documented approximation"),
+     "real two-stage BM3D (r4)"),
 ]
 
 VIDEO_SWEEPS = [

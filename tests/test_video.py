@@ -297,3 +297,18 @@ class TestIIILloydMax:
         for i in range(3):
             np.testing.assert_array_equal(
                 rec[i], still.decode(still.encode(frames[i])), err_msg=f"{i}")
+
+
+def test_iii_batched_cgrans():
+    """III's one-dispatch clip entropy accepts cgrans (delegates to
+    order-0 below the size gate, same wire container)."""
+    frames = make_video(4, 64, 80, seed=13)
+    vcfg = VideoConfig(mode="iii", n_frames=4)
+    ccfg = CodecConfig(qss=32, entropy="cgrans")
+    codec = video.get(vcfg, ccfg)
+    cs = codec.encode(frames)
+    meta = cs.get_json("payload")
+    assert meta["batched"]
+    rec = video.get(vcfg, ccfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+    assert rec.shape == frames.shape
+    assert metrics.rmse(frames, rec) < 14.0

@@ -29,7 +29,7 @@ from vcf_tpu.pipeline import Codec
 #: single "clip.*" segment group) instead of a per-frame host loop
 #: (VERDICT r2 weak item 3; reference role src/III.py:96-104 writes
 #: per-frame files, a host-filesystem idiom with no TPU benefit).
-BATCHED_ENTROPY = ("rans", "grans", "srans")
+BATCHED_ENTROPY = ("rans", "grans", "srans", "cgrans")
 
 
 class IIICodec:

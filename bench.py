@@ -361,7 +361,9 @@ def main():
                 le, st, fg_j, cg_j, l_steps, unroll=unroll_g, sg=sg_lanes)
             return make_frames(lanes)
 
-        stitch_chunk = 65536 if (l_steps * s_streams) % 65536 == 0 else 32768
+        # chunk 32768 rides the packed single-array compaction
+        # (_push_compact_packed, r4 probe 92: 13.7 vs 14.5 ms at 65536)
+        stitch_chunk = 32768 if (l_steps * s_streams) % 32768 == 0 else 65536
 
         @jax.jit
         def stitch_reps(reps, le):

@@ -236,6 +236,50 @@ def test_push_compact_radix2_matches_radix4():
                                   np.asarray(w2)[:int(n2)])
 
 
+def test_push_compact_packed_matches_finish_stream():
+    """r4: radix-2 chunks <= 32768 ride _push_compact_packed
+    ((shift << 16) | val in one i32, sign bit = inactive); the wire
+    prefix must stay byte-identical to the XLA butterfly across
+    densities including the all-empty and all-full edges."""
+    from vcf_tpu.ops.pallas import rans_encode as re_
+
+    rng = np.random.default_rng(92)
+    for dens in (0.0, 0.05, 0.5, 1.0):
+        le = ((rng.random((12, 8192)) < dens).astype(np.int64) << 16) \
+            | rng.integers(0, 65536, (12, 8192))
+        le = jnp.asarray(le, jnp.int32)
+        w0, n0, c0 = re_.finish_stream(le)
+        w1, n1, c1 = re_.finish_stream_pallas(
+            le, chunk=32768, sg2=1024, radix=2, interpret=True)
+        assert int(n0) == int(n1)
+        np.testing.assert_array_equal(np.asarray(w0)[:int(n0)],
+                                      np.asarray(w1)[:int(n0)])
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_push_compact_place_matches_finish_stream():
+    """r4: the row-compact + dynamic-placement stitch variant
+    (place=True: per-row butterflies + traced-scalar rolls + dynamic
+    leading-dim stores) must also be byte-identical.  Chip-verified
+    correct (probe 98) but NOT default: the 64 serial placements cost
+    as much as the 5 butterfly stages they replace."""
+    from vcf_tpu.ops.pallas import rans_encode as re_
+
+    rng = np.random.default_rng(98)
+    for dens in (0.0, 0.04, 1.0):
+        le = ((rng.random((4, 65536)) < dens).astype(np.int64) << 16) \
+            | rng.integers(0, 65536, (4, 65536))
+        le = jnp.asarray(le, jnp.int32)
+        w0, n0, c0 = re_.finish_stream(le)
+        w1, n1, c1 = re_.finish_stream_pallas(
+            le, chunk=65536, sg2=1024, radix=2, interpret=True,
+            place=True)
+        assert int(n0) == int(n1)
+        np.testing.assert_array_equal(np.asarray(w0)[:int(n0)],
+                                      np.asarray(w1)[:int(n0)])
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
 class TestPadCropWrappers:
     def test_cif_width_takes_fused_path(self):
         """VERDICT r3 weak #5: CIF's W=352 (not a 128-multiple) fell off

@@ -111,6 +111,127 @@ def _push_compact(vals, flags, g, sg, radix: int = 4):
     return val
 
 
+def _push_compact_packed(vals, flags, g, sg):
+    """radix-2 `_push_compact` with (shift << 16) | val packed into ONE
+    i32 and the sign bit as the inactive flag: each butterfly stage
+    shifts/merges a single array instead of three (val, move, shift),
+    cutting the stitch kernel's VPU passes ~2x (r4 probe 92).  Requires
+    s = g * sg <= 32768 so the residual shift fits bits 16..30.
+    Output low 16 bits are identical to `_push_compact`'s prefix."""
+    s = g * sg
+    assert s <= 32768, "packed compaction: shift field is 15 bits"
+    rank = _flat_rank(flags, g, sg)
+    idx = _flat_idx(g, sg)
+    shift = jnp.where(flags, idx - rank, 0)
+    inact = jnp.int32(-2147483648)
+    p = (shift << 16) | (vals & 0xFFFF)
+    p = jnp.where(flags, p, p | inact)
+    n_stages = max(int(np.ceil(np.log2(max(s, 2)))), 1)
+    for dig in range(n_stages):
+        off = 1 << dig
+        if off >= s:
+            break
+        bitpos = 16 + dig
+        move_out = (p >= 0) & (
+            (jax.lax.shift_right_logical(p, bitpos) & 1) == 1)
+        p_in = _flat_shift_left(p, off, sg)
+        # zero-fill the wrapped tail (roll wraps; compaction needs
+        # inactive lanes streaming in from past the end)
+        move_in = (p_in >= 0) & (
+            (jax.lax.shift_right_logical(p_in, bitpos) & 1) == 1) & (
+            idx < s - off)
+        # senders that receive nothing keep their val bits as residuals
+        # but deactivate, exactly like _push_compact's act_new
+        p = jnp.where(move_in, p_in - (off << 16),
+                      jnp.where(move_out, p | inact, p))
+    return p
+
+
+def _row_csum(fi, sg):
+    """Within-row INCLUSIVE prefix sum of fi (G, SG) i32 (lane-dim
+    masked shift-adds only — no cross-row carry)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
+    csum = fi
+    k = 1
+    while k < sg:
+        sh = pltpu.roll(csum, k, 1)
+        csum = csum + jnp.where(col >= k, sh, 0)
+        k <<= 1
+    return csum
+
+
+def _row_compact_packed(vals, flags, sg):
+    """Per-ROW packed monotone compaction: each row of `sg` lanes
+    compacts independently (log2(sg) single-roll stages, no cross-row
+    carries).  Returns (packed rows, inclusive flag csum) — row k's
+    word prefix is packed[k, :csum[k, -1]] & 0xFFFF."""
+    col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    fi = jnp.where(flags, 1, 0)
+    csum = _row_csum(fi, sg)
+    rank = csum - fi                              # exclusive, row-local
+    shift = jnp.where(flags, col - rank, 0)
+    inact = jnp.int32(-2147483648)
+    p = (shift << 16) | (vals & 0xFFFF)
+    p = jnp.where(flags, p, p | inact)
+    for dig in range(max(int(np.ceil(np.log2(max(sg, 2)))), 1)):
+        off = 1 << dig
+        if off >= sg:
+            break
+        bitpos = 16 + dig
+        move_out = (p >= 0) & (
+            (jax.lax.shift_right_logical(p, bitpos) & 1) == 1)
+        p_in = pltpu.roll(p, sg - off, 1)         # row-local left shift
+        move_in = (p_in >= 0) & (
+            (jax.lax.shift_right_logical(p_in, bitpos) & 1) == 1) & (
+            col < sg - off)
+        p = jnp.where(move_in, p_in - (off << 16),
+                      jnp.where(move_out, p | inact, p))
+    return p, csum
+
+
+def _make_place_kernel(g2, sg2):
+    """Row-compact + dynamic placement stitch kernel: compact each row
+    locally (log2(sg2) stages vs log2(g2*sg2) for the flat butterfly),
+    then write row k's word prefix at its running chunk offset with ONE
+    data-dependent lane roll + a dynamic-start 2-row RMW store (probes
+    94/95: Mosaic supports traced-scalar pltpu.roll shifts and traced
+    pl.ds starts on the sublane dim)."""
+    log_sg = int(np.log2(sg2))
+
+    def kernel(le_ref, out_ref, cnt_ref, scr_ref):
+        le = le_ref[0]
+        vals = le & 0xFFFF
+        flags = (le >> 16) != 0
+        p, csum = _row_compact_packed(vals, flags, sg2)
+        pv = p & 0xFFFF
+        # scratch is (g2 + 2, 1, sg2): the DYNAMIC index rides the
+        # leading dim (tile-aligned, so Mosaic can prove the access;
+        # a 2D (g2, sg2) scratch fails the "multiple of 8" sublane
+        # check for dynamic starts)
+        scr_ref[...] = jnp.zeros((g2 + 2, 1, sg2), jnp.int32)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (2, sg2), 1)
+        idx2 = col2 + sg2 * jax.lax.broadcasted_iota(
+            jnp.int32, (2, sg2), 0)
+        zrow = jnp.zeros((1, sg2), jnp.int32)
+        off = jnp.int32(0)
+        for k in range(g2):
+            cnt = csum[k, sg2 - 1]
+            lead = jax.lax.shift_right_logical(off, log_sg)
+            cc = off & (sg2 - 1)
+            pad2 = jnp.concatenate([pv[k:k + 1, :], zrow], 0)
+            y = pltpu.roll(pad2, cc, 1)           # right shift by cc
+            carry = pltpu.roll(y, 1, 0)
+            v2 = jnp.where(col2 < cc, carry, y)
+            valid = (idx2 >= cc) & (idx2 < cc + cnt)
+            cur = scr_ref[pl.ds(lead, 2), 0, :]
+            scr_ref[pl.ds(lead, 2), 0, :] = jnp.where(valid, v2, cur)
+            off = off + cnt
+        out_ref[0] = scr_ref[0:g2, 0, :]
+        cnt_ref[0, 0:1, :] = jnp.full((1, 128), off, jnp.int32)
+
+    return kernel
+
+
 def _fetch_one(oh, lo_f, tab_c, gc, sg):
     """Fetch one hi/lo-byte-split value per lane: tab_c (GC, 16, 32)
     bf16 = [v_hi | v_lo] per hi-nibble bucket, oh (GC, 16, SG) bf16
@@ -419,21 +540,26 @@ def finish_stream(le: jnp.ndarray):
 
 
 def _make_compact_kernel(g2, sg2, radix=4):
+    packed = radix == 2 and g2 * sg2 <= 32768
+
     def kernel(le_ref, out_ref, cnt_ref):
         le = le_ref[0]
         vals = le & 0xFFFF
         flags = (le >> 16) != 0
-        out_ref[0] = _push_compact(vals, flags, g2, sg2, radix=radix)
+        if packed:
+            out_ref[0] = _push_compact_packed(vals, flags, g2, sg2)
+        else:
+            out_ref[0] = _push_compact(vals, flags, g2, sg2, radix=radix)
         cnt_ref[0, 0:1, :] = jnp.full(
             (1, 128), jnp.sum(jnp.where(flags, 1, 0)), jnp.int32)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "sg2", "radix",
-                                             "interpret"))
+                                             "interpret", "place"))
 def finish_stream_pallas(le: jnp.ndarray, chunk: int = 32768,
                          sg2: int = 1024, radix: int = 4,
-                         interpret: bool = False):
+                         interpret: bool = False, place: bool = False):
     """Pallas replacement for `finish_stream`: per-chunk radix-4
     compaction runs INSIDE one kernel (8 in-VMEM stages per chunk vs
     15 XLA ops-per-stage passes of butterfly_compact_chunked), then the
@@ -446,8 +572,10 @@ def finish_stream_pallas(le: jnp.ndarray, chunk: int = 32768,
     c = n // chunk
     g2 = chunk // sg2
     le3 = le.reshape(c, g2, sg2)
+    kern = (_make_place_kernel(g2, sg2) if place
+            else _make_compact_kernel(g2, sg2, radix=radix))
     packed, cnts = pl.pallas_call(
-        _make_compact_kernel(g2, sg2, radix=radix),
+        kern,
         grid=(c,),
         in_specs=[pl.BlockSpec((1, g2, sg2), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -461,6 +589,8 @@ def finish_stream_pallas(le: jnp.ndarray, chunk: int = 32768,
             jax.ShapeDtypeStruct((c, g2, sg2), jnp.int32),
             jax.ShapeDtypeStruct((c, 1, 128), jnp.int32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((g2 + 2, 1, sg2), jnp.int32)] if place else []),
         interpret=interpret,
     )(le3)
     counts_chunk = cnts[:, 0, 0]                              # (C,)

@@ -71,9 +71,9 @@ def bench_png(frames):
 
     codec = get_entropy("png", CodecConfig(entropy="png"))
     t_enc, payloads = _host_timed(
-        lambda: [codec.encode(f) for f in frames])
+        lambda: codec.encode_batch(list(frames)))
     t_dec, recs = _host_timed(
-        lambda: [codec.decode(p, s) for p, s in payloads])
+        lambda: codec.decode_batch(payloads))
     rec = np.stack(recs)
     nbytes = sum(len(p) + sum(len(v) for v in s.values())
                  for p, s in payloads)

@@ -45,6 +45,22 @@ def test_vcf_stage_aliases(png, tmp_path):
     assert rec.shape == orig.shape
 
 
+@pytest.mark.parametrize("codec", ["cbaac", "cbahc"])
+def test_tiles_flag_roundtrip(png, tmp_path, codec):
+    # --tiles N: independent per-tile adaptive streams; decode reads the
+    # tile count from the stream so it needs no flag match (VERDICT r4 #10)
+    enc = str(tmp_path / "enc")
+    dec = str(tmp_path / "dec.png")
+    args = ["-c", codec, "-q", "16", "--tiles", "4"]
+    assert main(["encode", "-o", png, "-e", enc] + args) == 0
+    assert main(["decode", "-e", enc, "-d", dec, "-c", codec, "-q", "16"]) == 0
+    orig = read_image(png)
+    rec = read_image(dec)
+    assert rec.shape == orig.shape
+    rmse = float(np.sqrt(np.mean((orig.astype(float) - rec.astype(float)) ** 2)))
+    assert rmse < 10.0
+
+
 def test_vcf_layout(png, tmp_path):
     enc = str(tmp_path / "encoded")
     assert main(["encode", "-o", png, "-e", enc, "-c", "huffman"]) == 0 or True

@@ -49,6 +49,52 @@ class TestFusedDCT:
         err = float(jnp.sqrt(jnp.mean((y - jnp.asarray(x)) ** 2)))
         assert err < 8.0
 
+    def test_perceptual_encode_matches_xla(self):
+        # r5: perceptual tables folded in as VMEM constants — byte-
+        # identical to the XLA path (perceptual_scale then quantize)
+        rng = np.random.default_rng(7)
+        x = rng.uniform(-128, 127, (3, 64, 128)).astype(np.float32)
+        k_pal = np.asarray(
+            fused_dct_quantize(jnp.asarray(x), b=8, qss=32, offset=128,
+                               interpret=True, perceptual=True)
+        )
+        coeff = dct_ops.analyze(jnp.asarray(x.transpose(1, 2, 0)), 8)
+        coeff = dct_ops.perceptual_scale(coeff, 8)
+        k_ref = np.asarray(
+            (q_ops.deadzone_quantize(coeff, 32) + 128).astype(jnp.uint8)
+        ).transpose(2, 0, 1)
+        np.testing.assert_array_equal(k_pal, k_ref)
+
+    def test_perceptual_decode_matches_xla(self):
+        rng = np.random.default_rng(8)
+        k = rng.integers(100, 157, (3, 64, 128)).astype(np.uint8)
+        y_pal = np.asarray(
+            fused_dequantize_idct(jnp.asarray(k), b=8, qss=32, offset=128,
+                                  interpret=True, perceptual=True)
+        )
+        coeff = q_ops.deadzone_dequantize(
+            jnp.asarray(k.transpose(1, 2, 0).astype(np.int32)) - 128, 32
+        )
+        coeff = dct_ops.perceptual_scale(coeff, 8, inverse=True)
+        y_ref = np.asarray(dct_ops.synthesize(coeff, 8)).transpose(2, 0, 1)
+        np.testing.assert_allclose(y_pal, y_ref, atol=1e-2)
+
+    def test_perceptual_grid_layout_roundtrip(self):
+        # grid-layout + perceptual: the scale constant follows the
+        # permuted tile order; round-trip must stay within deadzone error
+        rng = np.random.default_rng(9)
+        x = rng.uniform(-100, 100, (3, 32, 128)).astype(np.float32)
+        k = fused_dct_quantize(jnp.asarray(x), b=8, qss=8, offset=128,
+                               interpret=True, grid_layout=True,
+                               perceptual=True)
+        y = fused_dequantize_idct(k, b=8, qss=8, offset=128,
+                                  interpret=True, grid_layout=True,
+                                  perceptual=True)
+        # perceptual scales down high frequencies (coarser effective
+        # step), so the bound is qss / min(table) ~ 8 / 0.08
+        err = float(jnp.sqrt(jnp.mean((y - jnp.asarray(x)) ** 2)))
+        assert err < 30.0
+
     def test_nonstandard_block(self):
         rng = np.random.default_rng(3)
         x = rng.uniform(-100, 100, (1, 32, 64)).astype(np.float32)

@@ -98,6 +98,10 @@ def add_stage_flags(p: argparse.ArgumentParser) -> None:
                    help="RD-optimize the DCT block size over 2..128 "
                         "(J = bytes + Lambda*RMSE, src/2D-DCT.py:533-579)")
     p.add_argument("--order", type=int, default=1)
+    p.add_argument("--tiles", type=int, default=1,
+                   help="independent per-tile adaptive streams for "
+                        "CBAAC/CBAHC (>1 trades a few %% rate for "
+                        "parallel host encode/decode; docs/FORMATS.md)")
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--side_info", default="",
@@ -152,6 +156,7 @@ def config_from_args(args) -> CodecConfig:
         nlm_search=args.nlm_search,
         bm3d_sigma=args.sigma,
         context_order=args.order,
+        context_tiles=args.tiles,
         seed=args.seed,
     )
 

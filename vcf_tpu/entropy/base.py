@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -27,6 +29,27 @@ class EntropyCodec:
 
     def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
         raise NotImplementedError
+
+    # ---- batch (frame-parallel) API --------------------------------------
+    # Host containers release the GIL in their hot loops (native C++,
+    # zlib/libdeflate), so a thread pool across frames is a real ~Nx on
+    # an N-core host.  Streams are byte-identical to per-frame encode.
+    # Reference role: the per-frame process-level parallelism a user of
+    # VCF gets from running one process per image (SURVEY §2.4).
+
+    def encode_batch(self, arrs: Sequence[np.ndarray]
+                     ) -> List[Tuple[bytes, Dict[str, bytes]]]:
+        if len(arrs) <= 1:
+            return [self.encode(a) for a in arrs]
+        with ThreadPoolExecutor(min(len(arrs), os.cpu_count() or 1)) as ex:
+            return list(ex.map(self.encode, arrs))
+
+    def decode_batch(self, items: Sequence[Tuple[bytes, Dict[str, bytes]]]
+                     ) -> List[np.ndarray]:
+        if len(items) <= 1:
+            return [self.decode(p, s) for p, s in items]
+        with ThreadPoolExecutor(min(len(items), os.cpu_count() or 1)) as ex:
+            return list(ex.map(lambda it: self.decode(it[0], it[1]), items))
 
     # ---- helpers ---------------------------------------------------------
     @staticmethod

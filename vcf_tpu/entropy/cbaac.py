@@ -24,7 +24,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from vcf_tpu.entropy.base import EntropyCodec
-from vcf_tpu.entropy.cbahc import ctx_init, ctx_mask
+from vcf_tpu.entropy.cbahc import ctx_init, ctx_mask, tiled_decode, tiled_encode
 from vcf_tpu import native
 
 _RC_TOP = 1 << 24
@@ -140,37 +140,11 @@ def _decode_stream(payload: bytes, n: int, order: int) -> np.ndarray:
 
 
 def _encode_tiled(flat_u8: np.ndarray, order: int, tiles: int) -> bytes:
-    """Independent per-tile adaptive streams (SURVEY §7.3 throughput
-    path): encode/decode parallelize across tiles; identical pixels,
-    slightly larger streams (each tile re-learns its model)."""
-    if tiles <= 1:
-        body = _encode_stream(flat_u8, order)
-        return struct.pack("<I", 1) + struct.pack("<Q", len(body)) + body
-    n = flat_u8.size
-    step = -(-n // tiles)
-    parts = [flat_u8[i * step : (i + 1) * step] for i in range(tiles)]
-    parts = [p for p in parts if p.size]
-    with ThreadPoolExecutor(min(len(parts), 8)) as ex:
-        bodies = list(ex.map(lambda p: _encode_stream(p, order), parts))
-    head = struct.pack("<I", len(bodies))
-    head += b"".join(struct.pack("<Q", len(b)) for b in bodies)
-    return head + b"".join(bodies)
+    return tiled_encode(flat_u8, order, tiles, _encode_stream)
 
 
 def _decode_tiled(blob: bytes, n: int, order: int, tiles: int) -> np.ndarray:
-    (n_tiles,) = struct.unpack_from("<I", blob, 0)
-    sizes = struct.unpack_from(f"<{n_tiles}Q", blob, 4)
-    off = 4 + 8 * n_tiles
-    step = -(-n // max(tiles, 1)) if n_tiles > 1 else n
-    spans = []
-    pos = 0
-    for t in range(n_tiles):
-        cnt = min(step, n - t * step) if n_tiles > 1 else n
-        spans.append((blob[off : off + sizes[t]], cnt))
-        off += sizes[t]
-    with ThreadPoolExecutor(min(n_tiles, 8)) as ex:
-        parts = list(ex.map(lambda sp: _decode_stream(sp[0], sp[1], order), spans))
-    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return tiled_decode(blob, n, order, tiles, _decode_stream)
 
 
 class CBAACCodec(EntropyCodec):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import heapq
 import struct
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Tuple
 
 import numpy as np
@@ -166,42 +167,86 @@ def _decode_stream(payload: bytes, n: int, order: int) -> np.ndarray:
     return _py_decode(payload, n, order)
 
 
+def tiled_encode(flat_u8: np.ndarray, order: int, tiles: int, enc_fn) -> bytes:
+    """Independent per-tile adaptive streams (SURVEY §7.3 throughput
+    path, shared by CBAHC/CBAAC): each tile re-learns its model so
+    encode/decode parallelize across host threads at a small rate cost.
+    Wire: <I n_tiles> then n_tiles <Q len> then the bodies."""
+    if tiles <= 1:
+        body = enc_fn(flat_u8, order)
+        return struct.pack("<I", 1) + struct.pack("<Q", len(body)) + body
+    n = flat_u8.size
+    step = -(-n // tiles)
+    parts = [flat_u8[i * step : (i + 1) * step] for i in range(tiles)]
+    parts = [p for p in parts if p.size]
+    with ThreadPoolExecutor(min(len(parts), 8)) as ex:
+        bodies = list(ex.map(lambda p: enc_fn(p, order), parts))
+    head = struct.pack("<I", len(bodies))
+    head += b"".join(struct.pack("<Q", len(b)) for b in bodies)
+    return head + b"".join(bodies)
+
+
+def tiled_decode(blob: bytes, n: int, order: int, tiles: int, dec_fn) -> np.ndarray:
+    (n_tiles,) = struct.unpack_from("<I", blob, 0)
+    sizes = struct.unpack_from(f"<{n_tiles}Q", blob, 4)
+    off = 4 + 8 * n_tiles
+    step = -(-n // max(tiles, 1)) if n_tiles > 1 else n
+    spans = []
+    for t in range(n_tiles):
+        cnt = min(step, n - t * step) if n_tiles > 1 else n
+        spans.append((blob[off : off + sizes[t]], cnt))
+        off += sizes[t]
+    with ThreadPoolExecutor(min(n_tiles, 8)) as ex:
+        parts = list(ex.map(lambda sp: dec_fn(sp[0], sp[1], order), spans))
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 class CBAHCCodec(EntropyCodec):
     file_extension = ".cbahc"
 
-    def __init__(self, order: int = 1):
+    def __init__(self, order: int = 1, tiles: int = 1):
         self.order = order
+        self.tiles = max(1, tiles)
 
     @classmethod
     def from_config(cls, config=None):
-        return cls(order=getattr(config, "context_order", 1))
+        return cls(
+            order=getattr(config, "context_order", 1),
+            tiles=getattr(config, "context_tiles", 1),
+        )
 
     def encode(self, arr: np.ndarray) -> Tuple[bytes, Dict[str, bytes]]:
         arr = self.check_dtype(arr)
         flat = arr.reshape(-1)
         nbits = 8 if arr.dtype == np.uint8 else 16
         if nbits == 8:
-            payload = _encode_stream(flat, self.order)
+            payload = tiled_encode(flat, self.order, self.tiles, _encode_stream)
             split = len(payload)
         else:
-            lo = _encode_stream((flat & 0xFF).astype(np.uint8), self.order)
-            hi = _encode_stream((flat >> 8).astype(np.uint8), self.order)
+            lo = tiled_encode((flat & 0xFF).astype(np.uint8), self.order,
+                              self.tiles, _encode_stream)
+            hi = tiled_encode((flat >> 8).astype(np.uint8), self.order,
+                              self.tiles, _encode_stream)
             payload = lo + hi
             split = len(lo)
         meta = struct.pack(
-            f"<BBIB{arr.ndim}I", nbits, self.order, split, arr.ndim, *arr.shape
+            f"<BBBIB{arr.ndim}I",
+            nbits, self.order, self.tiles, split, arr.ndim, *arr.shape
         )
         return payload, {"adaptive_huffman_tree": meta}
 
     def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
         blob = side["adaptive_huffman_tree"]
-        nbits, order, split, ndim = struct.unpack_from("<BBIB", blob, 0)
-        shape = struct.unpack_from(f"<{ndim}I", blob, 7)
+        nbits, order, tiles, split, ndim = struct.unpack_from("<BBBIB", blob, 0)
+        shape = struct.unpack_from(f"<{ndim}I", blob, 8)
         n = int(np.prod(shape))
         if nbits == 8:
-            out = _decode_stream(payload, n, order).astype(np.uint8)
+            out = tiled_decode(payload, n, order, tiles,
+                               _decode_stream).astype(np.uint8)
         else:
-            lo = _decode_stream(payload[:split], n, order).astype(np.uint16)
-            hi = _decode_stream(payload[split:], n, order).astype(np.uint16)
+            lo = tiled_decode(payload[:split], n, order, tiles,
+                              _decode_stream).astype(np.uint16)
+            hi = tiled_decode(payload[split:], n, order, tiles,
+                              _decode_stream).astype(np.uint16)
             out = (hi << 8) | lo
         return out.reshape(shape)

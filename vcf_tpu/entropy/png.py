@@ -37,9 +37,14 @@ def _filter_rows(raw: np.ndarray, bpp: int) -> bytes:
     """Adaptive per-row filtering.  raw: (H, stride) uint8 scanline bytes.
 
     Encode-side filtering predicts from the RAW previous row, so every
-    row filters independently — all five candidates and the
-    minimum-sum-of-absolutes choice are computed for the whole image at
-    once (the decode side is the sequential direction)."""
+    row filters independently — the hot loop runs in the native C++
+    runtime (vcf_png_filter, r5); the numpy fallback computes all five
+    candidates and the minimum-sum-of-absolutes choice for the whole
+    image at once (byte-identical by tests/test_containers.py)."""
+    from vcf_tpu import native
+
+    if native.available():
+        return native.png_filter(raw, bpp)
     h, stride = raw.shape
     up = np.zeros_like(raw)
     up[1:] = raw[:-1]
@@ -130,8 +135,27 @@ def write_png(arr: np.ndarray, level: int = 6) -> bytes:
         raw = arr.reshape(h, -1)
     bpp = c * (depth // 8)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
-    idat = zlib.compress(_filter_rows(np.ascontiguousarray(raw), bpp), level)
+    filtered = _filter_rows(np.ascontiguousarray(raw), bpp)
+    idat = _deflate(filtered, level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _deflate(data: bytes, level: int) -> bytes:
+    """zlib-format compress: libdeflate when present (2-4x faster, still
+    standard inflate on the read side), zlib module otherwise."""
+    from vcf_tpu import native
+
+    if native.deflate_available():
+        return native.zlib_compress(data, level)
+    return zlib.compress(data, level)
+
+
+def _inflate(data: bytes, out_size: int) -> bytes:
+    from vcf_tpu import native
+
+    if native.deflate_available():
+        return native.zlib_decompress(data, out_size)
+    return zlib.decompress(data)
 
 
 def read_png(blob: bytes) -> np.ndarray:
@@ -161,7 +185,7 @@ def read_png(blob: bytes) -> np.ndarray:
     c = _CHANNELS[color_type]
     bpp = c * (depth // 8)
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    raw = np.frombuffer(_inflate(idat, h * (stride + 1)), np.uint8)
     rows = _unfilter_rows(raw, h, stride, bpp)
     if depth == 16:
         arr = rows.reshape(h, w, c, 2).astype(np.uint16)

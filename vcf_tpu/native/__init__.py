@@ -93,6 +93,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vcf_png_unfilter.argtypes = [
             c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8p,
         ]
+        lib.vcf_png_filter.restype = ctypes.c_int64
+        lib.vcf_png_filter.argtypes = [
+            c_u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, c_u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -253,3 +257,109 @@ def png_unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     if n != h:
         raise RuntimeError("native png unfilter failed")
     return out
+
+
+def png_filter(raw: np.ndarray, bpp: int) -> bytes:
+    """Adaptive per-row PNG filtering (encode hot loop, r5): one native
+    pass computes all five candidate costs, a second writes the winner.
+    Byte-identical to the Python _filter_rows."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(raw, dtype=np.uint8)
+    h, stride = src.shape
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    n = lib.vcf_png_filter(_u8p(src), h, stride, bpp, _u8p(out))
+    if n != h:
+        raise RuntimeError("native png filter failed")
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# libdeflate bindings (zlib-format streams, 2-4x faster than the zlib
+# module; output remains readable by any standard inflate — the PNG
+# container stays cross-readable by cv2/imageio, test_containers.py)
+# ---------------------------------------------------------------------------
+
+_DEFLATE_NAMES = ("libdeflate.so.0", "libdeflate.so")
+_deflate_lib = None
+_deflate_tried = False
+_deflate_lock = threading.Lock()
+
+
+def _load_deflate():
+    global _deflate_lib, _deflate_tried
+    with _deflate_lock:
+        if _deflate_lib is not None or _deflate_tried:
+            return _deflate_lib
+        _deflate_tried = True
+        for name in _DEFLATE_NAMES:
+            try:
+                lib = ctypes.CDLL(name)
+            except OSError:
+                continue
+            lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+            lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+            lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+            lib.libdeflate_alloc_decompressor.argtypes = []
+            lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
+            lib.libdeflate_zlib_compress.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
+            ]
+            lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
+            lib.libdeflate_zlib_compress_bound.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+            ]
+            lib.libdeflate_zlib_decompress.restype = ctypes.c_int
+            lib.libdeflate_zlib_decompress.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            _deflate_lib = lib
+            break
+        return _deflate_lib
+
+
+# libdeflate (de)compressor objects are single-thread use — keep one
+# per (thread, level) or the frame-parallel batch path corrupts state
+_deflate_tls = threading.local()
+
+
+def deflate_available() -> bool:
+    return _load_deflate() is not None
+
+
+def zlib_compress(data: bytes, level: int = 6) -> bytes:
+    """zlib-format compress via libdeflate (levels 1-12)."""
+    lib = _load_deflate()
+    assert lib is not None
+    level = min(max(level, 1), 12)
+    comps = getattr(_deflate_tls, "comps", None)
+    if comps is None:
+        comps = _deflate_tls.comps = {}
+    comp = comps.get(level)
+    if comp is None:
+        comp = comps[level] = lib.libdeflate_alloc_compressor(level)
+    bound = lib.libdeflate_zlib_compress_bound(comp, len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.libdeflate_zlib_compress(comp, data, len(data), out, bound)
+    if n == 0:
+        raise RuntimeError("libdeflate compress failed")
+    return out.raw[:n]
+
+
+def zlib_decompress(data: bytes, out_size: int) -> bytes:
+    """zlib-format decompress via libdeflate (exact output size known)."""
+    lib = _load_deflate()
+    assert lib is not None
+    decomp = getattr(_deflate_tls, "decomp", None)
+    if decomp is None:
+        decomp = _deflate_tls.decomp = lib.libdeflate_alloc_decompressor()
+    out = ctypes.create_string_buffer(out_size)
+    actual = ctypes.c_size_t(0)
+    rc = lib.libdeflate_zlib_decompress(
+        decomp, data, len(data), out, out_size, ctypes.byref(actual))
+    if rc != 0:
+        raise RuntimeError(f"libdeflate decompress failed rc={rc}")
+    return out.raw[: actual.value]

@@ -534,17 +534,19 @@ int64_t vcf_png_unfilter(const uint8_t* data, int64_t h, int64_t stride,
         for (int64_t x = 0; x < stride; ++x)
           rec[x] = (uint8_t)(cur[x] + prev[x]);
         break;
-      case 3:  // Average
-        for (int64_t x = 0; x < stride; ++x) {
-          int a = x >= bpp ? rec[x - bpp] : 0;
-          rec[x] = (uint8_t)(cur[x] + ((a + prev[x]) >> 1));
-        }
+      case 3:  // Average (prefix split hoists the x >= bpp test)
+        for (int64_t x = 0; x < bpp && x < stride; ++x)
+          rec[x] = (uint8_t)(cur[x] + (prev[x] >> 1));
+        for (int64_t x = bpp; x < stride; ++x)
+          rec[x] = (uint8_t)(cur[x] + ((rec[x - bpp] + prev[x]) >> 1));
         break;
-      case 4:  // Paeth
-        for (int64_t x = 0; x < stride; ++x) {
-          int a = x >= bpp ? rec[x - bpp] : 0;
+      case 4: {  // Paeth: prefix split + branchless predictor
+        for (int64_t x = 0; x < bpp && x < stride; ++x)
+          rec[x] = (uint8_t)(cur[x] + prev[x]);  // a=c=0 -> pred=b
+        for (int64_t x = bpp; x < stride; ++x) {
+          int a = rec[x - bpp];
           int b = prev[x];
-          int c = x >= bpp ? prev[x - bpp] : 0;
+          int c = prev[x - bpp];
           int p = a + b - c;
           int pa = p > a ? p - a : a - p;
           int pb = p > b ? p - b : b - p;
@@ -553,6 +555,7 @@ int64_t vcf_png_unfilter(const uint8_t* data, int64_t h, int64_t stride,
           rec[x] = (uint8_t)(cur[x] + pred);
         }
         break;
+      }
       default:
         return -1;
     }
@@ -561,7 +564,87 @@ int64_t vcf_png_unfilter(const uint8_t* data, int64_t h, int64_t stride,
   return h;
 }
 
-int vcf_native_version() { return 2; }
+// ---------------------------------------------------------------------------
+// PNG scanline filtering (entropy/png.py encode hot loop): adaptive
+// per-row choice among filters 0-4 by minimum sum of absolute signed
+// residuals (the standard libpng heuristic).  Encode predicts from the
+// RAW previous row, so rows are independent; one pass computes all five
+// costs, a second writes the winner.  Byte-identical to the Python
+// _filter_rows (argmin is first-wins on ties).
+// raw: h * stride bytes; out: h * (stride + 1).  Returns h.
+// ---------------------------------------------------------------------------
+
+int64_t vcf_png_filter(const uint8_t* raw, int64_t h, int64_t stride,
+                       int bpp, uint8_t* out) {
+  std::vector<uint8_t> zero((size_t)stride, 0);
+  const uint8_t* prev = zero.data();
+  auto abs8 = [](uint8_t v) -> uint64_t {
+    int s = (int8_t)v;
+    return (uint64_t)(s < 0 ? -s : s);
+  };
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* cur = raw + y * stride;
+    uint64_t cost[5] = {0, 0, 0, 0, 0};
+    for (int64_t x = 0; x < stride; ++x) {
+      int r = cur[x];
+      int a = x >= bpp ? cur[x - bpp] : 0;
+      int b = prev[x];
+      int c = x >= bpp ? prev[x - bpp] : 0;
+      int p = a + b - c;
+      int pa = p > a ? p - a : a - p;
+      int pb = p > b ? p - b : b - p;
+      int pc = p > c ? p - c : c - p;
+      int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+      cost[0] += abs8((uint8_t)r);
+      cost[1] += abs8((uint8_t)(r - a));
+      cost[2] += abs8((uint8_t)(r - b));
+      cost[3] += abs8((uint8_t)(r - ((a + b) >> 1)));
+      cost[4] += abs8((uint8_t)(r - pred));
+    }
+    int ft = 0;
+    for (int i = 1; i < 5; ++i)
+      if (cost[i] < cost[ft]) ft = i;
+    uint8_t* dst = out + y * (stride + 1);
+    dst[0] = (uint8_t)ft;
+    uint8_t* o = dst + 1;
+    switch (ft) {
+      case 0:
+        std::memcpy(o, cur, (size_t)stride);
+        break;
+      case 1:
+        for (int64_t x = 0; x < stride; ++x)
+          o[x] = (uint8_t)(cur[x] - (x >= bpp ? cur[x - bpp] : 0));
+        break;
+      case 2:
+        for (int64_t x = 0; x < stride; ++x)
+          o[x] = (uint8_t)(cur[x] - prev[x]);
+        break;
+      case 3:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? cur[x - bpp] : 0;
+          o[x] = (uint8_t)(cur[x] - ((a + prev[x]) >> 1));
+        }
+        break;
+      case 4:
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? cur[x - bpp] : 0;
+          int b = prev[x];
+          int c = x >= bpp ? prev[x - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          o[x] = (uint8_t)(cur[x] - pred);
+        }
+        break;
+    }
+    prev = cur;
+  }
+  return h;
+}
+
+int vcf_native_version() { return 3; }
 
 }  // extern "C"
 

@@ -86,6 +86,53 @@ def _decode_kernel(k_ref, bv_ref, bh_ref, o_ref, *, qss: int, offset: int):
     o_ref[0] = jnp.dot(y, bh_ref[:].T, preferred_element_type=jnp.float32)
 
 
+def _encode_kernel_p(x_ref, bv_ref, bh_ref, sc_ref, o_ref, *, qss: int,
+                     offset: int):
+    """Perceptual variant: the per-frequency JPEG-table scale is a
+    per-channel (ROWS, CW) VMEM constant multiplied in BEFORE the
+    quantizer divide, matching the XLA path's op order
+    (perceptual_scale then deadzone_quantize) for bit-identity."""
+    x = x_ref[0]
+    y = jnp.dot(bv_ref[:], x, preferred_element_type=jnp.float32)
+    coeff = jnp.dot(y, bh_ref[:], preferred_element_type=jnp.float32)
+    coeff = coeff * sc_ref[0]
+    k = jnp.trunc(coeff * (1.0 / qss)).astype(jnp.int32) + offset
+    o_ref[0] = jnp.clip(k, 0, 255).astype(jnp.uint8)
+
+
+def _decode_kernel_p(k_ref, bv_ref, bh_ref, sc_ref, o_ref, *, qss: int,
+                     offset: int):
+    k = k_ref[0].astype(jnp.int32) - offset
+    # true divide (not reciprocal multiply): the XLA inverse path divides
+    # by the table (perceptual_scale(inverse=True)) and knife-edge
+    # coefficients must land identically
+    coeff = k.astype(jnp.float32) * qss / sc_ref[0]
+    y = jnp.dot(bv_ref[:].T, coeff, preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.dot(y, bh_ref[:].T, preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _percep_tile(c: int, rows: int, cw: int, b: int, grid: bool) -> np.ndarray:
+    """Per-channel (c, rows, cw) perceptual scale constant for one tile.
+
+    Block layout: position (r, col) holds coefficient (r % b, col % b);
+    grid layout (the _kron_dct_grid output order): coefficient index is
+    the tile-row block `r // (rows//b)`.  Channel 0 scales by the luma
+    table, the rest by chroma (reference: src/2D-DCT.py:63-90)."""
+    luma, chroma = dct_ops.perceptual_tables(b)
+    out = np.empty((c, rows, cw), np.float32)
+    if grid:
+        ry = np.arange(rows) // (rows // b)
+        cx = np.arange(cw) // (cw // b)
+    else:
+        ry = np.arange(rows) % b
+        cx = np.arange(cw) % b
+    for ch in range(c):
+        t = luma if ch == 0 else chroma
+        out[ch] = t[np.ix_(ry, cx)]
+    return out
+
+
 def _chunk_w(w: int, b: int) -> int:
     cw = min(w, CW)
     while w % cw:
@@ -102,10 +149,11 @@ def supports(h: int, w: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret",
-                                             "grid_layout"))
+                                             "grid_layout", "perceptual"))
 def fused_dct_quantize(planes: jnp.ndarray, b: int = 8, qss: int = 32,
                        offset: int = 128, interpret: bool = False,
-                       grid_layout: bool = False) -> jnp.ndarray:
+                       grid_layout: bool = False,
+                       perceptual: bool = False) -> jnp.ndarray:
     """(C, H, W) float32 -> (C, H, W) uint8 quantization indexes.
 
     grid_layout=False: block layout (subband reordering stays outside).
@@ -114,65 +162,92 @@ def fused_dct_quantize(planes: jnp.ndarray, b: int = 8, qss: int = 32,
     permuted constant matrices (_kron_dct_grid), which makes the
     entropy laning a large-atom transpose instead of a byte shuffle
     (r4: the laning transposes were ~8 ms of the 14.5 ms 8x1080p
-    encode transform)."""
+    encode transform).
+    perceptual=True folds the JPEG-table coefficient prescale
+    (reference: src/2D-DCT.py:63-90) in as a per-channel VMEM constant
+    — one extra VPU multiply, no extra pass."""
     c, h, w = planes.shape
     assert h % ROWS == 0 and w % b == 0 and ROWS % b == 0
     cw = _chunk_w(w, b)
     mk = _kron_dct_grid if grid_layout else _kron_dct
     bv = jnp.asarray(mk(ROWS, b, transpose=False))
     bh = jnp.asarray(mk(cw, b, transpose=True))
-    kernel = functools.partial(_encode_kernel, qss=qss, offset=offset)
+    plane_spec = pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
+                              memory_space=pltpu.VMEM)
+    mat_specs = [
+        pl.BlockSpec((ROWS, ROWS), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cw, cw), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if perceptual:
+        sc = jnp.asarray(_percep_tile(c, ROWS, cw, b, grid_layout))
+        kernel = functools.partial(_encode_kernel_p, qss=qss, offset=offset)
+        in_specs = [plane_spec] + mat_specs + [
+            pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        operands = (planes, bv, bh, sc)
+    else:
+        kernel = functools.partial(_encode_kernel, qss=qss, offset=offset)
+        in_specs = [plane_spec] + mat_specs
+        operands = (planes, bv, bh)
     return pl.pallas_call(
         kernel,
         grid=(c, h // ROWS, w // cw),
-        in_specs=[
-            pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, ROWS), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cw, cw), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.uint8),
         interpret=interpret,
-    )(planes, bv, bh)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("b", "qss", "offset", "interpret",
-                                             "grid_layout"))
+                                             "grid_layout", "perceptual"))
 def fused_dequantize_idct(planes_u8: jnp.ndarray, b: int = 8, qss: int = 32,
                           offset: int = 128, interpret: bool = False,
-                          grid_layout: bool = False) -> jnp.ndarray:
+                          grid_layout: bool = False,
+                          perceptual: bool = False) -> jnp.ndarray:
     """(C, H, W) uint8 indexes -> (C, H, W) float32 pixels (color inverse
     and +offset fuse outside).  grid_layout: input tiles are in the
     subband-grid order fused_dct_quantize(grid_layout=True) emits; the
     same permuted matrices invert it for free (P is orthogonal, so
-    bvᵀ P Pᵀ coeff cancels)."""
+    bvᵀ P Pᵀ coeff cancels).  perceptual: divide the dequantized
+    coefficients by the JPEG-table constant before the inverse DCT."""
     c, h, w = planes_u8.shape
     assert h % ROWS == 0 and w % b == 0 and ROWS % b == 0
     cw = _chunk_w(w, b)
     mk = _kron_dct_grid if grid_layout else _kron_dct
     bv = jnp.asarray(mk(ROWS, b, transpose=False))
     bh = jnp.asarray(mk(cw, b, transpose=True))
-    kernel = functools.partial(_decode_kernel, qss=qss, offset=offset)
+    plane_spec = pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
+                              memory_space=pltpu.VMEM)
+    mat_specs = [
+        pl.BlockSpec((ROWS, ROWS), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cw, cw), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if perceptual:
+        sc = jnp.asarray(_percep_tile(c, ROWS, cw, b, grid_layout))
+        kernel = functools.partial(_decode_kernel_p, qss=qss, offset=offset)
+        in_specs = [plane_spec] + mat_specs + [
+            pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        operands = (planes_u8, bv, bh, sc)
+    else:
+        kernel = functools.partial(_decode_kernel, qss=qss, offset=offset)
+        in_specs = [plane_spec] + mat_specs
+        operands = (planes_u8, bv, bh)
     return pl.pallas_call(
         kernel,
         grid=(c, h // ROWS, w // cw),
-        in_specs=[
-            pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, ROWS), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cw, cw), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ROWS, cw), lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
         interpret=interpret,
-    )(planes_u8, bv, bh)
+    )(*operands)
 
 
 def supports_padded(h: int, w: int, b: int = 8) -> bool:
@@ -184,10 +259,12 @@ def supports_padded(h: int, w: int, b: int = 8) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("b", "qss", "offset",
-                                             "interpret", "grid_layout"))
+                                             "interpret", "grid_layout",
+                                             "perceptual"))
 def fused_dct_quantize_any(planes: jnp.ndarray, b: int = 8, qss: int = 32,
                            offset: int = 128, interpret: bool = False,
-                           grid_layout: bool = False) -> jnp.ndarray:
+                           grid_layout: bool = False,
+                           perceptual: bool = False) -> jnp.ndarray:
     """fused_dct_quantize for any block-multiple (H, W): rows pad to a
     32-multiple and columns to a 128-multiple (zeros — every padded
     block is independent of the real ones), the kernel runs on the
@@ -199,20 +276,23 @@ def fused_dct_quantize_any(planes: jnp.ndarray, b: int = 8, qss: int = 32,
     if hp == h and wp == w:
         return fused_dct_quantize(planes, b=b, qss=qss, offset=offset,
                                   interpret=interpret,
-                                  grid_layout=grid_layout)
+                                  grid_layout=grid_layout,
+                                  perceptual=perceptual)
     assert not grid_layout, "grid_layout requires kernel-native shapes"
     padded = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)))
     out = fused_dct_quantize(padded, b=b, qss=qss, offset=offset,
-                             interpret=interpret)
+                             interpret=interpret, perceptual=perceptual)
     return out[:, :h, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("b", "qss", "offset",
-                                             "interpret", "grid_layout"))
+                                             "interpret", "grid_layout",
+                                             "perceptual"))
 def fused_dequantize_idct_any(planes_u8: jnp.ndarray, b: int = 8,
                               qss: int = 32, offset: int = 128,
                               interpret: bool = False,
-                              grid_layout: bool = False) -> jnp.ndarray:
+                              grid_layout: bool = False,
+                              perceptual: bool = False) -> jnp.ndarray:
     """Inverse wrapper: pad the index planes with `offset` (the zero
     quantization index), run the kernel, crop.  Padded blocks decode to
     garbage that never reaches the output."""
@@ -221,12 +301,13 @@ def fused_dequantize_idct_any(planes_u8: jnp.ndarray, b: int = 8,
     if hp == h and wp == w:
         return fused_dequantize_idct(planes_u8, b=b, qss=qss,
                                      offset=offset, interpret=interpret,
-                                     grid_layout=grid_layout)
+                                     grid_layout=grid_layout,
+                                     perceptual=perceptual)
     assert not grid_layout, "grid_layout requires kernel-native shapes"
     padded = jnp.pad(planes_u8, ((0, 0), (0, hp - h), (0, wp - w)),
                      constant_values=offset)
     out = fused_dequantize_idct(padded, b=b, qss=qss, offset=offset,
-                                interpret=interpret)
+                                interpret=interpret, perceptual=perceptual)
     return out[:, :h, :w]
 
 

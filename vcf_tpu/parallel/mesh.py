@@ -88,12 +88,12 @@ class BatchCodec:
             self._build_lloydmax(cfg, b, fwd, inv, axis)
             return
 
-        # Pallas fused kernel path: requires TPU, deadzone, no perceptual
-        # tables, and 32-row tile alignment (ops/pallas/dct_kernel.py).
+        # Pallas fused kernel path: requires TPU, deadzone, and 32-row
+        # tile alignment (ops/pallas/dct_kernel.py).  Perceptual tables
+        # fold into the kernel as VMEM constants (r5).
         self._pallas_ok = (
             cfg.use_pallas
             and cfg.quantizer == "deadzone"
-            and not cfg.perceptual
             and jax.devices()[0].platform not in ("cpu",)
         )
 
@@ -107,7 +107,8 @@ class BatchCodec:
 
                 planes = ct.transpose(2, 0, 1)  # planar for lane efficiency
                 k_u8 = fused_dct_quantize_any(planes, b=b, qss=cfg.qss,
-                                              offset=soff)
+                                              offset=soff,
+                                              perceptual=cfg.perceptual)
                 k_img = k_u8.transpose(1, 2, 0)
                 if cfg.subbands:
                     # pure permutation of stored indexes — commutes with
@@ -133,7 +134,8 @@ class BatchCodec:
                     k_img = dct_ops.from_subbands(k_img, b)
                 planes = k_img.transpose(2, 0, 1)
                 ct = fused_dequantize_idct_any(planes, b=b, qss=cfg.qss,
-                                               offset=soff)
+                                               offset=soff,
+                                               perceptual=cfg.perceptual)
                 y = inv(ct.transpose(1, 2, 0)) + soff
                 return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
             k = k_u8.astype(jnp.int32) - soff

@@ -213,6 +213,70 @@ class TestLBTPipeline:
         assert e_lbt < e_dct * 1.5
 
 
+class TestDWTDeviceEntropy:
+    """r5 (VERDICT r4 missing #1): one-dispatch grouped-rANS entropy
+    for the DWT pipeline — per-band groups, device scan both ways."""
+
+    def test_roundtrip_matches_host_path(self, img512):
+        from vcf_tpu import Codec, CodecConfig, CodeStream, metrics
+
+        cfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=3,
+                          entropy="grans")
+        cs = Codec(cfg).encode(img512)
+        rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        # reconstruction matches the host entropy backends within the
+        # documented +-1 quantization knife edge (the device path fuses
+        # analyze+quantize in one jit; float contraction order differs
+        # from the host path's separate dispatches — CLAUDE.md law)
+        cfgz = cfg.replace(entropy="zlib")
+        recz = Codec(cfgz).decode(
+            CodeStream.from_bytes(Codec(cfgz).encode(img512).to_bytes()))
+        diff = np.abs(rec.astype(np.int32) - recz.astype(np.int32))
+        assert diff.max() <= 1 and (diff != 0).mean() < 1e-4
+        assert "gdwt_words" in cs and "gdwt_model" in cs
+
+    def test_odd_shape_device(self):
+        from vcf_tpu import Codec, CodecConfig, CodeStream, metrics
+        from vcf_tpu.io import test_image as make_img
+
+        img = make_img(130, 94, seed=5)
+        cfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=2,
+                          entropy="grans")
+        cs = Codec(cfg).encode(img)
+        rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        assert rec.shape == img.shape
+        assert metrics.rmse(img, rec) < 10.0
+
+    def test_grid_pack_unpack_exact(self):
+        from vcf_tpu.entropy import dwt_device as dd
+
+        rng = np.random.default_rng(0)
+        sizes = [700, 3000, 12000]
+        bands = [jnp.asarray(rng.integers(0, 256, (n,), np.uint8))
+                 for n in sizes]
+        sg, l = dd.grid_dims(sizes, tpu=False)
+        lanes = dd.bands_to_grid(bands, sg, l)
+        assert lanes.shape == (len(sizes) * sg, l)
+        back = dd.grid_to_bands(lanes, sizes, sg)
+        for a, b in zip(bands, back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_model_sidecar_roundtrip(self):
+        from vcf_tpu.entropy import dwt_device as dd
+
+        rng = np.random.default_rng(1)
+        g, sg, l = 5, 16, 64
+        states = rng.integers(1 << 16, 1 << 31, (g * sg,)).astype(np.uint32)
+        counts = rng.integers(0, 40, (l,)).astype(np.int64)
+        fg = np.full((g, 256), 128, np.uint32)
+        blob = dd.pack_model(g, sg, l, 1234, 16, states, counts, fg)
+        g2, sg2, l2, nw, qss, st2, c2, fg2, cg2 = dd.unpack_model(blob)
+        assert (g2, sg2, l2, nw, qss) == (g, sg, l, 1234, 16)
+        np.testing.assert_array_equal(st2, states)
+        np.testing.assert_array_equal(c2, counts)
+        np.testing.assert_array_equal(fg2, fg)
+
+
 def test_lbt_side_info_external_file(img_small, tmp_path):
     """--side_info stores the trained weights outside the stream
     (2D-LBT.py:39,48,391-398,530-537)."""

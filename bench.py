@@ -292,108 +292,118 @@ def main():
         from vcf_tpu.ops import color as color_ops
         from vcf_tpu.ops.pallas import rans_decode as rd
         from vcf_tpu.ops.pallas import rans_encode as re_
-        from vcf_tpu.ops.pallas import (
-            fused_dct_quantize,
-            fused_dequantize_idct,
+        from vcf_tpu.ops.pallas.dct_kernel import (
+            _chunk_w,
+            fused_cdct_quantize,
+            fused_dequantize_cdct,
         )
-        from vcf_tpu.ops.pallas.dct_kernel import _chunk_w
 
-        # SUBBAND-GRID pipeline (r4): the DCT kernels emit/consume tiles
-        # whose rows/cols are already in (coeff, block) order (the
-        # permutation folded into the kron constants, dct_kernel
-        # grid_layout=True), so the entropy laning (grid_lanes) is pure
-        # reshapes + one 16-byte-atom transpose.  The byte-granular
-        # laning shuffles this removes were ~8 ms (encode) + ~7 ms
-        # (decode) of the 8x1080p bench (r4 probes 23/26/29).
-        m_fwd = jnp.asarray(np.asarray(color_ops.YCOCG_FWD, np.float32))
-        m_inv = jnp.asarray(np.asarray(color_ops.YCOCG_INV, np.float32))
+        # COLOR-FUSED SUBBAND-GRID pipeline (r5): the 3x3 color
+        # transform, block DCT (with the subband-grid permutation in
+        # the kron constants), and deadzone quantize run in ONE u8->u8
+        # kernel per direction -- no (N, C, H, W) float32 tensor ever
+        # round-trips HBM (the color einsums alone were ~2x200 MB per
+        # direction, ~8 ms of the r4 wire path).  The entropy kernels
+        # take/emit the L-major u8 lane layout directly
+        # (grid_lanes_lmajor / lmajor=True), so laning is ONE
+        # transpose each way and the encoder's reversal+byte-packing
+        # XLA passes are gone (r5 probes 111-122).
+        MF = tuple(tuple(float(v) for v in row)
+                   for row in np.asarray(color_ops.YCOCG_FWD))
+        MI = tuple(tuple(float(v) for v in row)
+                   for row in np.asarray(color_ops.YCOCG_INV))
         cw = _chunk_w(w, b)
 
-        def make_lanes(fd):                 # (N, H, W, 3) u8 -> (S, L)
-            xp = fd.transpose(0, 3, 1, 2).astype(jnp.float32) - 128.0
-            ct = jnp.einsum("dc,nchw->ndhw", m_fwd, xp,
-                            precision=jax.lax.Precision.HIGHEST)
-            planes = jax.vmap(lambda q: fused_dct_quantize(
-                q, b=b, qss=cfg.qss, offset=128, grid_layout=True))(ct)
-            return rans_mod.grid_lanes(planes, b, s_streams,
-                                       rows=32, cw=cw)
+        def make_lanes(fd):              # (N, H, W, 3) u8 -> (L, S) u8
+            planes = jax.vmap(lambda fr: fused_cdct_quantize(
+                fr, MF, b=b, qss=cfg.qss, offset=128, grid_layout=True))(
+                fd.transpose(0, 3, 1, 2))
+            return rans_mod.grid_lanes_lmajor(planes, b, s_streams,
+                                              rows=32, cw=cw)
 
-        def make_frames(lanes):             # (S, L) -> (N, H, W, 3) u8
-            planes = rans_mod.grid_unlanes(
-                lanes, b, (n_frames, 3, h, w), rows=32, cw=cw)
-            ct = jax.vmap(lambda q: fused_dequantize_idct(
-                q, b=b, qss=cfg.qss, offset=128, grid_layout=True))(planes)
-            y = jnp.einsum("dc,nchw->ndhw", m_inv, ct,
-                           precision=jax.lax.Precision.HIGHEST) + 128.0
-            return jnp.clip(jnp.round(y), 0, 255).astype(
-                jnp.uint8).transpose(0, 2, 3, 1)
+        def make_frames(lanes_lm):       # (L, S) u8 -> (N, H, W, 3) u8
+            planes = rans_mod.grid_unlanes_lmajor(
+                lanes_lm, b, (n_frames, 3, h, w), rows=32, cw=cw)
+            pix = jax.vmap(lambda fr: fused_dequantize_cdct(
+                fr, MI, b=b, qss=cfg.qss, offset=128, grid_layout=True))(planes)
+            return pix.transpose(0, 2, 3, 1)
+
+        # ---- device-resident path: raw u8 encode + grid decode ----------
+        @jax.jit
+        def encode_dev(fd):
+            lanes = make_lanes(fd)
+            return re_.pallas_encode_grouped_raw_u8(
+                lanes, fg_j, cg_j, unroll=unroll_g, sg=sg_lanes,
+                lmajor=True)
 
         @jax.jit
-        def encode_grid_reps(reps, fd):
+        def encode_dev_reps(reps, fd):
             def body(i, acc):
-                lanes = make_lanes(jnp.roll(fd, i, axis=0))
-                le, st = re_.pallas_encode_grouped_raw(
-                    lanes, fg_j, cg_j, unroll=unroll_g, sg=sg_lanes)
+                le, st = encode_dev(jnp.roll(fd, i, axis=0))
                 return acc + le[0, 0] + le[l_steps - 1, 1] \
                     + st[0].astype(jnp.int32)
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
         @jax.jit
-        def encode_grid(fd):
-            lanes = make_lanes(fd)
-            return re_.pallas_encode_grouped_raw(
-                lanes, fg_j, cg_j, unroll=unroll_g, sg=sg_lanes)
-
-        @jax.jit
-        def decode_grid_reps(reps, le, st):
+        def decode_dev_reps(reps, le, st):
             def body(i, acc):
                 st_i = st ^ (i.astype(jnp.uint32) & jnp.uint32(1))
                 lanes = rd.pallas_decode_grouped_grid(
                     le, st_i, fg_j, cg_j, l_steps, unroll=unroll_g,
-                    sg=sg_lanes)
+                    sg=sg_lanes, lmajor=True)
                 rec = make_frames(lanes)
                 return acc + jnp.sum(rec.astype(jnp.int32))
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
-        @jax.jit
-        def decode_grid(le, st):
-            lanes = rd.pallas_decode_grouped_grid(
-                le, st, fg_j, cg_j, l_steps, unroll=unroll_g, sg=sg_lanes)
-            return make_frames(lanes)
+        t_enc_d, _ = timed(encode_dev_reps, frames_dev)
+        gle, gst = encode_dev(frames_dev)
+        gle = jax.block_until_ready(gle)
+        t_dec_d, _ = timed(decode_dev_reps, gle, gst)
 
-        # chunk 32768 rides the packed single-array compaction
-        # (_push_compact_packed, r4 probe 92: 13.7 vs 14.5 ms at 65536)
-        stitch_chunk = 32768 if (l_steps * s_streams) % 32768 == 0 else 65536
+        # ---- wire-complete path: compact u8 encode + windowed decode ----
+        # compact per-step prefix rows come out of the encode kernel
+        # itself (matmul-rank + carry-hi packed compaction); the stream
+        # assembles with one cap-sliced scan -- the separate
+        # finish_stream stitch pass of r4 (10.9 ms) is gone.
+        CAPW = 2048
 
         @jax.jit
-        def stitch_reps(reps, le):
+        def encode_wire(fd):
+            lanes = make_lanes(fd)
+            rows, counts, st = re_.pallas_encode_grouped_u8(
+                lanes, fg_j, cg_j, unroll=unroll_g, sg=sg_lanes,
+                lmajor=True)
+            words, n_words = re_.assemble_stream(rows[:, :CAPW], counts)
+            return words, n_words, st, counts
+
+        @jax.jit
+        def encode_wire_reps(reps, fd):
             def body(i, acc):
-                w_, nw_, cts_ = re_.finish_stream_pallas(
-                    le ^ (i & 1), chunk=stitch_chunk, radix=2)
-                return acc + nw_ + jnp.sum(w_[:8].astype(jnp.int32))
+                words, n_words, st, counts = encode_wire(
+                    jnp.roll(fd, i, axis=0))
+                return (acc + n_words + jnp.sum(words[:8].astype(jnp.int32))
+                        + words[0].astype(jnp.int32)
+                        + st[0].astype(jnp.int32) + counts[0])
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
-        t_enc_g, _ = timed(encode_grid_reps, frames_dev)
-        gle, gst = encode_grid(frames_dev)
-        gle = jax.block_until_ready(gle)
-        t_dec_g, _ = timed(decode_grid_reps, gle, gst)
-        t_wire, _ = timed(stitch_reps, gle)
-        gw, gnw, gcounts = re_.finish_stream_pallas(
-            gle, chunk=stitch_chunk, radix=2)
-        gnw_i = int(gnw)
-        gcounts_h = np.asarray(gcounts).astype(np.int32)
-        rec_g = np.asarray(jax.device_get(decode_grid(gle, gst)))
-        err_g = float(np.sqrt(np.mean(
-            (rec_g[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
-
-        # wire-complete decode (ADVICE r3): consume the COMPACT stream
-        # (windows pre-pass + window-routing kernel), not the encoder's
-        # in-HBM grid — wire_gbps is an end-to-end wire number
+        t_enc_w, _ = timed(encode_wire_reps, frames_dev)
+        words, n_words, wst, wcounts = encode_wire(frames_dev)
+        gnw_i = int(n_words)
+        assert int(jnp.max(wcounts)) <= CAPW, "wire cap exceeded"
+        gcounts_h = np.asarray(wcounts).astype(np.int32)
         cap = sg_lanes * max(1, -(-int(gcounts_h.max()) // sg_lanes))
         cap = min(cap, s_streams)
         wpad = jax.block_until_ready(jnp.concatenate(
-            [gw[:gnw_i], jnp.zeros((cap + s_streams + 16,), jnp.uint16)]))
+            [words[:gnw_i], jnp.zeros((cap + s_streams + 16,), jnp.uint16)]))
         gcts = jnp.asarray(gcounts_h)
+
+        @jax.jit
+        def decode_wire(wp, cts, st):
+            win = rd.build_windows(wp, cts, cap)
+            lanes = rd.pallas_decode_grouped(
+                win, st, fg_j, cg_j, l_steps, cap,
+                unroll=unroll_g, sg=sg_lanes, lmajor=True)
+            return make_frames(lanes)
 
         @jax.jit
         def decode_wire_reps(reps, wp, cts, st):
@@ -402,26 +412,33 @@ def main():
                 win = rd.build_windows(wp, cts, cap)
                 lanes = rd.pallas_decode_grouped(
                     win, st_i, fg_j, cg_j, l_steps, cap,
-                    unroll=unroll_g, sg=sg_lanes)
+                    unroll=unroll_g, sg=sg_lanes, lmajor=True)
                 rec = make_frames(lanes)
                 return acc + jnp.sum(rec.astype(jnp.int32))
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
-        t_dec_wire, _ = timed(decode_wire_reps, wpad, gcts, gst)
+        t_dec_w, _ = timed(decode_wire_reps, wpad, gcts, wst)
+        rec_g = np.asarray(jax.device_get(decode_wire(wpad, gcts, wst)))
+        err_g = float(np.sqrt(np.mean(
+            (rec_g[:, :1080].astype(np.float64) - frames[:, :1080]) ** 2)))
+
         side_g = 4 * s_streams + len(_z.compress(fg.astype("<u2").tobytes(), 9))
         side_g += len(_z.compress(gcounts_h.astype("<u4").tobytes(), 9))
+        wire_gbps = frames.nbytes / (t_enc_w + t_dec_w) / 1e9
         return {
-            "encode_s": round(t_enc_g, 4), "decode_s": round(t_dec_g, 4),
-            "gbps": round(frames.nbytes / (t_enc_g + t_dec_g) / 1e9, 4),
+            "encode_s": round(t_enc_w, 4), "decode_s": round(t_dec_w, 4),
+            "gbps": round(wire_gbps, 4),
             "rmse": round(err_g, 3),
             "bpp": round((2 * gnw_i + side_g) * 8 / (n_frames * h * w), 4),
-            "layout": "subband-grid lane layout in HBM; bpp counts the "
-                      "compact wire bytes",
-            "wire_stitch_s": round(t_wire, 4),
-            "wire_decode_s": round(t_dec_wire, 4),
-            "wire_gbps": round(
-                frames.nbytes / (t_enc_g + t_wire + t_dec_wire) / 1e9, 4),
-            "pallas": "encode+decode kernels",
+            "layout": "color-fused subband-grid kernels; L-major u8 "
+                      "lanes; bpp counts the compact wire bytes",
+            "wire_gbps": round(wire_gbps, 4),
+            "device_resident": {
+                "encode_s": round(t_enc_d, 4),
+                "decode_s": round(t_dec_d, 4),
+                "gbps": round(frames.nbytes / (t_enc_d + t_dec_d) / 1e9, 4),
+            },
+            "pallas": "color-fused DCT + u8-lane rANS kernels both ways",
         }
 
     def run_grouped_stream():
@@ -520,8 +537,9 @@ def main():
         best = {k: grouped[k] for k in ("encode_s", "decode_s", "gbps",
                                         "rmse", "bpp")}
     result = {
-        "metric": "device-resident encode+decode GB/s per chip "
-                  "(1080p, DCT+deadzone+rANS, full codec incl. entropy)",
+        "metric": "wire-complete encode+decode GB/s per chip "
+                  "(1080p, DCT+deadzone+rANS, full codec incl. entropy "
+                  "and compact-stream serialization both ways)",
         "value": round(best_gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(best_gbps / baseline_per_chip, 3),

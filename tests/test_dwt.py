@@ -277,6 +277,41 @@ class TestDWTDeviceEntropy:
         np.testing.assert_array_equal(fg2, fg)
 
 
+@pytest.mark.parametrize("wavelet", ["haar", "db5", "bior4.4"])
+def test_halo_sharded_analyze_level(wavelet):
+    """Row-sharded DWT analysis with halo exchange equals the unsharded
+    transform (SURVEY §5; VERDICT r4 missing #3).  bior4.4 exercises
+    negative shifts (halo on both sides)."""
+    import functools
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from vcf_tpu.ops import dwt
+
+    n_t = 4
+    devs = jax.devices()[:n_t]
+    mesh = Mesh(np.array(devs), ("tile",))
+    bank = dwt.get_bank(wavelet)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(128, 32, 3)).astype(np.float32))
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("tile"),),
+        out_specs=(P("tile"), (P("tile"), P("tile"), P("tile"))))
+    def sharded(xl):
+        return dwt.analyze_level_rows_sharded(xl, bank, "tile", n_t)
+
+    ll_s, (lh_s, hl_s, hh_s) = sharded(x)
+    ll, (lh, hl, hh) = dwt.analyze_level(x, bank)
+    for a, b_ in ((ll, ll_s), (lh, lh_s), (hl, hl_s), (hh, hh_s)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=0, atol=1e-5)
+
+
 def test_lbt_side_info_external_file(img_small, tmp_path):
     """--side_info stores the trained weights outside the stream
     (2D-LBT.py:39,48,391-398,530-537)."""

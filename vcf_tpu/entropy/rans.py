@@ -746,6 +746,42 @@ def grid_lanes(planes_grid: jnp.ndarray, b: int, s_streams: int,
     return xt.reshape(g, sg, l).reshape(g * sg, l)
 
 
+def grid_lanes_lmajor(planes_grid: jnp.ndarray, b: int, s_streams: int,
+                      rows: int = 32, cw: int = 128) -> jnp.ndarray:
+    """grid_lanes emitting the (L, S) layout the Pallas encode kernel
+    consumes (pallas_encode_grouped_u8(lmajor=True)) — ONE transpose
+    total instead of grid_lanes' lane-major transpose plus the
+    kernel-side .T (r5)."""
+    n, c, h, w = planes_grid.shape
+    g = b * b
+    sg = s_streams // g
+    j_t, k_t = h // rows, w // cw
+    br, bc = rows // b, cw // b
+    n_g = n * c * j_t * br * k_t * bc
+    assert h % rows == 0 and w % cw == 0 and n_g % sg == 0, (
+        planes_grid.shape, s_streams, rows, cw)
+    x = planes_grid.reshape(n, c, j_t, b, br, k_t, b, bc)
+    xt = x.transpose(3, 6, 0, 1, 2, 4, 5, 7)
+    l = n_g // sg
+    return xt.reshape(g, sg, l).transpose(2, 0, 1).reshape(l, g * sg)
+
+
+def grid_unlanes_lmajor(syms: jnp.ndarray, b: int, shape,
+                        rows: int = 32, cw: int = 128) -> jnp.ndarray:
+    """Inverse consuming the (L, S) layout pallas_decode_grouped
+    (lmajor=True) emits — skips the kernel-side .T."""
+    n, c, h, w = shape
+    g = b * b
+    l, s_streams = syms.shape
+    sg = s_streams // g
+    j_t, k_t = h // rows, w // cw
+    br, bc = rows // b, cw // b
+    xt = (syms.reshape(l, g, sg).transpose(1, 2, 0)
+          .reshape(g, sg * l).reshape(b, b, n, c, j_t, br, k_t, bc))
+    x = xt.transpose(2, 3, 4, 0, 5, 6, 1, 7)
+    return x.reshape(n, c, h, w)
+
+
 def grid_unlanes(syms: jnp.ndarray, b: int, shape,
                  rows: int = 32, cw: int = 128) -> jnp.ndarray:
     """Inverse of grid_lanes: (S, L) -> (N, C, H, W) grid-tile layout

@@ -452,6 +452,62 @@ def synthesize_level(ll, details, bank: Bank, out_hw):
             + _up_axis(hi, bank.rec_hi, bank.phase_hi, 0, h_out))
 
 
+def halo_sizes(bank: Bank) -> Tuple[int, int]:
+    """(before, after) halo rows a shard needs for one analyze level:
+    output a[k] reads input rows 2k + j + shift for j in [0, len) and
+    both filters, so `before` covers the most negative j + shift and
+    `after` the largest."""
+    lo_min = min(bank.shift_lo, bank.shift_hi)
+    hi_max = max(len(bank.dec_lo) - 1 + bank.shift_lo,
+                 len(bank.dec_hi) - 1 + bank.shift_hi)
+    return max(0, -lo_min), max(0, hi_max)
+
+
+def _down_rows_from_ext(ext, filt: np.ndarray, shift: int, before: int,
+                        h_local: int):
+    """Row-direction analysis on a halo-extended shard: out[k] =
+    sum_j f[j] * ext[before + 2k + j + shift] for 2k in [0, h_local)."""
+    z = None
+    for j, fj in enumerate(filt.tolist()):
+        s = before + j + shift
+        term = jax.lax.slice_in_dim(ext, s, s + h_local - 1, 2, axis=0) * fj
+        z = term if z is None else z + term
+    return z
+
+
+def analyze_level_rows_sharded(x_local, bank: Bank, axis_name: str,
+                               n_shards: int):
+    """One DWT analysis level with the FRAME'S ROWS sharded across mesh
+    axis `axis_name` (SURVEY §5: intra-frame tile sharding needs halo
+    exchange for the filter support — the DCT path's block independence
+    does not apply here).  Call inside shard_map; x_local is this
+    shard's (h_local, w, ...) row slab with h_local even.  Periodic
+    boundary handling matches the unsharded `_down_axis` (the halos
+    wrap around the mesh axis via lax.ppermute, so shard 0 receives the
+    LAST shard's rows exactly like jnp.roll's wraparound).  Returns
+    (ll, (lh, hl, hh)), each rows-sharded at h_local // 2."""
+    before, after = halo_sizes(bank)
+    h_local = x_local.shape[0]
+    assert h_local % 2 == 0 and h_local >= max(before, after), (
+        h_local, before, after)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    parts = []
+    if before:
+        parts.append(jax.lax.ppermute(x_local[-before:], axis_name, fwd))
+    parts.append(x_local)
+    if after:
+        parts.append(jax.lax.ppermute(x_local[:after], axis_name, bwd))
+    ext = jnp.concatenate(parts, axis=0)
+    lo = _down_rows_from_ext(ext, bank.dec_lo, bank.shift_lo, before, h_local)
+    hi = _down_rows_from_ext(ext, bank.dec_hi, bank.shift_hi, before, h_local)
+    ll = _down_axis(lo, bank.dec_lo, bank.shift_lo, 1)
+    lh = _down_axis(lo, bank.dec_hi, bank.shift_hi, 1)
+    hl = _down_axis(hi, bank.dec_lo, bank.shift_lo, 1)
+    hh = _down_axis(hi, bank.dec_hi, bank.shift_hi, 1)
+    return ll, (lh, hl, hh)
+
+
 def analyze(x, wavelet: str, levels: int):
     """[LL_L, (LH,HL,HH)_L, ..., (LH,HL,HH)_1] like pywt.wavedec2 /
     the reference's list layout (src/2D-DWT.py:113-136)."""

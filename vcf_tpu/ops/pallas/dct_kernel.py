@@ -250,6 +250,114 @@ def fused_dequantize_idct(planes_u8: jnp.ndarray, b: int = 8, qss: int = 32,
     )(*operands)
 
 
+def _encode_kernel_cdct(x_ref, bv_ref, bh_ref, o_ref, *, qss: int,
+                        offset: int, m: tuple):
+    """Color-fused encode: the 3x3 color forward (baked scalar
+    constants) + per-channel block DCT + deadzone quantize in ONE
+    kernel — u8 in, u8 out, no (C, H, W) f32 coefficient or
+    color-transformed tensor ever hits HBM (r5: the color einsums were
+    ~2x200 MB of pure HBM traffic per direction at bench shapes)."""
+    # Mosaic has no u8->f32 cast; go through i32 (CLAUDE.md dtype laws)
+    xs = [x_ref[c].astype(jnp.int32).astype(jnp.float32) - offset
+          for c in range(3)]
+    for d in range(3):
+        ct = m[d][0] * xs[0] + m[d][1] * xs[1] + m[d][2] * xs[2]
+        y = jnp.dot(bv_ref[:], ct, preferred_element_type=jnp.float32)
+        coeff = jnp.dot(y, bh_ref[:], preferred_element_type=jnp.float32)
+        k = jnp.trunc(coeff * (1.0 / qss)).astype(jnp.int32) + offset
+        o_ref[d] = jnp.clip(k, 0, 255).astype(jnp.uint8)
+
+
+def _decode_kernel_cdct(k_ref, bv_ref, bh_ref, o_ref, *, qss: int,
+                        offset: int, m: tuple):
+    """Color-fused decode: dequantize + inverse DCT per channel, then
+    the 3x3 color inverse + offset + round/clip to u8 pixels."""
+    cts = []
+    for d in range(3):
+        k = k_ref[d].astype(jnp.int32) - offset
+        coeff = k.astype(jnp.float32) * qss
+        y = jnp.dot(bv_ref[:].T, coeff, preferred_element_type=jnp.float32)
+        cts.append(jnp.dot(y, bh_ref[:].T,
+                           preferred_element_type=jnp.float32))
+    for c in range(3):
+        pix = (m[c][0] * cts[0] + m[c][1] * cts[1] + m[c][2] * cts[2]
+               + offset)
+        # f32->u8 is unsupported; round in f32, clip in i32 (same law)
+        o_ref[c] = jnp.clip(jnp.round(pix).astype(jnp.int32),
+                            0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "b", "qss", "offset",
+                                             "interpret", "grid_layout"))
+def fused_cdct_quantize(planes: jnp.ndarray, m: tuple, b: int = 8,
+                        qss: int = 32, offset: int = 128,
+                        interpret: bool = False,
+                        grid_layout: bool = False) -> jnp.ndarray:
+    """(3, H, W) uint8 pixel planes -> (3, H, W) uint8 quantization
+    indexes with the color forward fused in.  `m` is the 3x3 color
+    matrix as a nested tuple of floats (static — baked into the
+    kernel)."""
+    c, h, w = planes.shape
+    assert c == 3 and h % ROWS == 0 and w % b == 0 and ROWS % b == 0
+    cw = _chunk_w(w, b)
+    mk = _kron_dct_grid if grid_layout else _kron_dct
+    bv = jnp.asarray(mk(ROWS, b, transpose=False))
+    bh = jnp.asarray(mk(cw, b, transpose=True))
+    kernel = functools.partial(_encode_kernel_cdct, qss=qss,
+                               offset=offset, m=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // ROWS, w // cw),
+        in_specs=[
+            pl.BlockSpec((3, ROWS, cw), lambda j, k: (0, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, ROWS), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, cw), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, ROWS, cw), lambda j, k: (0, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+        interpret=interpret,
+    )(planes, bv, bh)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "b", "qss", "offset",
+                                             "interpret", "grid_layout"))
+def fused_dequantize_cdct(planes_u8: jnp.ndarray, m: tuple, b: int = 8,
+                          qss: int = 32, offset: int = 128,
+                          interpret: bool = False,
+                          grid_layout: bool = False) -> jnp.ndarray:
+    """(3, H, W) uint8 indexes -> (3, H, W) uint8 pixels with the color
+    inverse + round/clip fused in.  `m` is the 3x3 INVERSE color
+    matrix as a nested tuple."""
+    c, h, w = planes_u8.shape
+    assert c == 3 and h % ROWS == 0 and w % b == 0 and ROWS % b == 0
+    cw = _chunk_w(w, b)
+    mk = _kron_dct_grid if grid_layout else _kron_dct
+    bv = jnp.asarray(mk(ROWS, b, transpose=False))
+    bh = jnp.asarray(mk(cw, b, transpose=True))
+    kernel = functools.partial(_decode_kernel_cdct, qss=qss,
+                               offset=offset, m=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // ROWS, w // cw),
+        in_specs=[
+            pl.BlockSpec((3, ROWS, cw), lambda j, k: (0, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, ROWS), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, cw), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, ROWS, cw), lambda j, k: (0, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.uint8),
+        interpret=interpret,
+    )(planes_u8, bv, bh)
+
+
 def supports_padded(h: int, w: int, b: int = 8) -> bool:
     """Shapes the pad-and-crop wrappers accept: any block-multiple
     frame whose rows tile by 32 after padding (CIF 352x288 included —

@@ -131,26 +131,46 @@ def _flat_idx(g, sg):
     return row * sg + col
 
 
-def _pull_expand(window_lanes, renorm, g, sg):
+def _flat_rank_mm(flags, tri, g, sg):
+    """Exclusive flat rank with the within-row prefix as ONE bf16 MXU
+    matmul (f32 accumulation — exact for counts < 2^24) + log2(g)
+    sublane stages.  tri: (sg, sg) inclusive lower-triangular 0/1
+    bf16.  Replaces _flat_rank's log2(sg) lane-roll stages (r5)."""
+    fi = jnp.where(flags, 1, 0)
+    csum = jnp.dot(fi.astype(jnp.bfloat16), tri,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    row_tot = jnp.broadcast_to(csum[:, sg - 1:sg], (g, sg))
+    row_pre = row_tot
+    k = 1
+    while k < g:
+        sh = pltpu.roll(row_pre, k, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 0)
+        row_pre = row_pre + jnp.where(row >= k, sh, 0)
+        k <<= 1
+    row_excl = row_pre - row_tot
+    return row_excl + csum - fi
+
+
+def _pull_expand(window_lanes, renorm, g, sg, tri=None):
     """Route packed window words to renorming lanes (pull-routing).
     window_lanes (G, SG) i32: words at flat positions 0..c-1.
     renorm (G, SG) bool.  Returns (G, SG) i32 routed values."""
     s = g * sg
-    rank = _flat_rank(renorm, g, sg)
+    rank = (_flat_rank_mm(renorm, tri, g, sg) if tri is not None
+            else _flat_rank(renorm, g, sg))
     idx = _flat_idx(g, sg)
     delta = idx - rank                            # monotone, steps {0, 1}
     val = window_lanes
     n_bits = max(int(np.ceil(np.log2(max(s, 2)))), 1)
-    for dig in range((n_bits + 1) // 2 - 1, -1, -1):
-        step = 1 << (2 * dig)
-        d = (delta >> (2 * dig)) & 3
-        new = val
-        for j in (1, 2, 3):
-            off = j * step
-            if off >= s:
-                continue
-            new = jnp.where(d == j, _flat_shift_right(val, off, sg), new)
-        val = new
+    # MSB-first radix-2: one shifted merge per bit (16 at S=65536) vs
+    # radix-4's 3 per digit level (24) — pull stages carry only `val`,
+    # so fewer merges wins outright (r5; mirrors the r4 radix-2 stitch)
+    for bit in range(n_bits - 1, -1, -1):
+        off = 1 << bit
+        if off >= s:
+            continue
+        d = (delta >> bit) & 1
+        val = jnp.where(d == 1, _flat_shift_right(val, off, sg), val)
     return val
 
 
@@ -214,7 +234,7 @@ def _split_tables(cums_g):
 
 
 def _decode_body(x, win_rows, coarse_ref, thl_ref, g, sg, wr,
-                 gc=16):
+                 gc=16, tri=None):
     """One symbol step on states x (G, SG) i32 (u32 bit pattern).
     win_rows (WR, SG) i32.  Returns (new_x, syms i32 in [0,255])."""
     slot = x & MASK                                # nonneg, < 2^15
@@ -237,13 +257,13 @@ def _decode_body(x, win_rows, coarse_ref, thl_ref, g, sg, wr,
             [win_rows, jnp.zeros((g - wr, sg), jnp.int32)], axis=0)
     else:
         win_flat = win_rows[:g]
-    routed = _pull_expand(win_flat, renorm, g, sg)
+    routed = _pull_expand(win_flat, renorm, g, sg, tri=tri)
     x = jnp.where(renorm, (x << 16) | routed, x)
     return x, sym
 
 
-def _make_kernel(u, g, sg, wr):
-    def kernel(win_ref, st_in_ref, coarse_ref, thl_ref,
+def _make_kernel(u, g, sg, wr, u8_out: bool = False):
+    def kernel(win_ref, st_in_ref, coarse_ref, thl_ref, tri_ref,
                out_ref, st_ref):
         t = pl.program_id(0)
 
@@ -252,19 +272,27 @@ def _make_kernel(u, g, sg, wr):
             st_ref[:] = st_in_ref[:]
 
         x = st_ref[:]
+        tri = tri_ref[:]
         packed = jnp.zeros((g, sg), jnp.int32)
         for j in range(u):
             win_rows = win_ref[0, j * wr:(j + 1) * wr, :]
             x, sym = _decode_body(
-                x, win_rows, coarse_ref, thl_ref, g, sg, wr)
-            packed = packed | (sym << (8 * j))
-        out_ref[0] = packed
+                x, win_rows, coarse_ref, thl_ref, g, sg, wr, tri=tri)
+            if u8_out:
+                # direct u8 store per sub-step row: kills the XLA-side
+                # unpack passes (r5; the DCT kernels store u8 the same
+                # way — the risky case is sub-byte/strided stores)
+                out_ref[0, j * g:(j + 1) * g, :] = sym.astype(jnp.uint8)
+            else:
+                packed = packed | (sym << (8 * j))
+        if not u8_out:
+            out_ref[0] = packed
         st_ref[:] = x
 
     return kernel
 
 
-def _make_grid_kernel(u, g, sg):
+def _make_grid_kernel(u, g, sg, u8_out: bool = False):
     def kernel(le_ref, st_in_ref, coarse_ref, thl_ref, out_ref, st_ref):
         t = pl.program_id(0)
 
@@ -294,19 +322,24 @@ def _make_grid_kernel(u, g, sg):
             # read)
             word = le_ref[0, j * g:(j + 1) * g, :] & 0xFFFF
             x = jnp.where(renorm, (x << 16) | word, x)
-            packed = packed | (sym << (8 * j))
-        out_ref[0] = packed
+            if u8_out:
+                out_ref[0, j * g:(j + 1) * g, :] = sym.astype(jnp.uint8)
+            else:
+                packed = packed | (sym << (8 * j))
+        if not u8_out:
+            out_ref[0] = packed
         st_ref[:] = x
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("l", "unroll", "sg",
-                                             "interpret"))
+                                             "interpret", "lmajor"))
 def pallas_decode_grouped_grid(le: jnp.ndarray, states: jnp.ndarray,
                                freqs_g: jnp.ndarray, cums_g: jnp.ndarray,
                                l: int, unroll: int = 4, sg: int = 1024,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               lmajor: bool = False):
     """Grid-layout decode: consumes the ENCODER's raw (L, S) i32
     (emit << 16) | low16 grid (ops/pallas/rans_encode.py
     pallas_encode_grouped_raw output) directly — the interleaved-rANS
@@ -324,19 +357,32 @@ def pallas_decode_grouped_grid(le: jnp.ndarray, states: jnp.ndarray,
     coarse, thl = _split_tables(cums_g)
     le3 = le.reshape(l // u, u * g, sg)
     st2 = jax.lax.bitcast_convert_type(states, jnp.int32).reshape(g, sg)
+    in_specs = [
+        pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, sg), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, 16), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if lmajor:
+        out = pl.pallas_call(
+            _make_grid_kernel(u, g, sg, u8_out=True),
+            grid=(l // u,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((l // u, u * g, sg), jnp.uint8),
+            scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+            interpret=interpret,
+        )(le3, st2, coarse, thl)
+        return out.reshape(l, g * sg)
     out = pl.pallas_call(
         _make_grid_kernel(u, g, sg),
         grid=(l // u,),
-        in_specs=[
-            pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, sg), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l // u, g, sg), jnp.int32),
@@ -349,16 +395,19 @@ def pallas_decode_grouped_grid(le: jnp.ndarray, states: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("l", "cap", "unroll", "sg",
-                                             "interpret"))
+                                             "interpret", "lmajor"))
 def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
                           freqs_g: jnp.ndarray, cums_g: jnp.ndarray,
                           l: int, cap: int, unroll: int = 4,
-                          sg: int = 1024, interpret: bool = False):
+                          sg: int = 1024, interpret: bool = False,
+                          lmajor: bool = False):
     """windows (L, cap) i32 from build_windows; states (S,) u32;
     freqs_g/cums_g (G, 256).  Returns syms (S, L) u8, bit-identical to
-    jax_decode_grouped.  Requires l % unroll == 0, unroll <= 4 (symbols
-    pack into one i32 per lane per grid step), cap % sg == 0,
-    S = G * sg with G = freqs_g.shape[0]."""
+    jax_decode_grouped (or (L, S) with lmajor=True — skips the final
+    transpose for consumers that are L-major anyway).  Requires
+    l % unroll == 0, unroll <= 4 (symbols pack into one i32 per lane
+    per grid step), cap % sg == 0, S = G * sg with G = freqs_g.shape[0].
+    The per-step routing rank runs as one bf16 MXU matmul (r5)."""
     g = freqs_g.shape[0]
     s = states.shape[0]
     assert s == g * sg, (s, g, sg)
@@ -366,28 +415,46 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
     u, wr = unroll, cap // sg
     assert wr <= g, (wr, g, "cap must fit the (G, SG) lane grid")
     coarse, thl = _split_tables(cums_g)
+    col = jnp.arange(sg, dtype=jnp.int32)
+    tri = (col[:, None] <= col[None, :]).astype(jnp.bfloat16)
     win3 = windows.reshape(l // u, u * wr, sg)
     st2 = jax.lax.bitcast_convert_type(
         states, jnp.int32).reshape(g, sg)
+    in_specs = [
+        pl.BlockSpec((1, u * wr, sg), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, sg), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, 16), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((sg, sg), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if lmajor:
+        # u8 stores straight into the (L, S) layout — no unpack passes
+        out = pl.pallas_call(
+            _make_kernel(u, g, sg, wr, u8_out=True),
+            grid=(l // u,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((l // u, u * g, sg), jnp.uint8),
+            scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+            interpret=interpret,
+        )(win3, st2, coarse, thl, tri)
+        return out.reshape(l, g * sg)
     out = pl.pallas_call(
         _make_kernel(u, g, sg, wr),
         grid=(l // u,),
-        in_specs=[
-            pl.BlockSpec((1, u * wr, sg), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, sg), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l // u, g, sg), jnp.int32),
         scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
         interpret=interpret,
-    )(win3, st2, coarse, thl)
+    )(win3, st2, coarse, thl, tri)
     # unpack: byte j of grid step t is symbol t*u + j
     bytes_ = jnp.stack(
         [(out >> (8 * j)) & 255 for j in range(u)], axis=1)  # (L//u, u, G, SG)

@@ -68,6 +68,71 @@ def _flat_shift_left(x, off, sg):
     return y
 
 
+def _flat_rank_mm(flags, tri, g, sg):
+    """Exclusive flat rank via ONE MXU matmul for the within-row prefix
+    (bf16 0/1 operands, f32 accumulation — exact for counts < 2^24)
+    plus the log2(g) sublane stages.  Replaces the log2(sg) lane-roll
+    stages of _flat_rank (r5: the rank is ~40% of the in-kernel
+    compaction's passes).  `tri` is the (sg, sg) inclusive lower-
+    triangular 0/1 matrix (tri[j, i] = j <= i)."""
+    fi = jnp.where(flags, 1, 0)
+    csum = jnp.dot(fi.astype(jnp.bfloat16), tri,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    row_tot = jnp.broadcast_to(csum[:, sg - 1:sg], (g, sg))
+    row_pre = row_tot
+    k = 1
+    while k < g:
+        sh = pltpu.roll(row_pre, k, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, fi.shape, 0)
+        row_pre = row_pre + jnp.where(row >= k, sh, 0)
+        k <<= 1
+    row_excl = row_pre - row_tot
+    return row_excl + csum - fi
+
+
+def _push_compact_packed_wide(vals, flags, g, sg, tri=None):
+    """Packed radix-2 monotone compaction for 32768 < s <= 65536: the
+    15-bit packed shift field holds delta & 0x7FFF and a separate
+    carry array rides bit 15 (LSB-first stages 0..14 shift two arrays,
+    then ONE unpacked 32768-stage moves the carries — a pure sublane
+    roll).  ~16 stages x 2 arrays vs radix-4's 24 stages x 3."""
+    s = g * sg
+    assert 32768 < s <= 65536, s
+    rank = (_flat_rank_mm(flags, tri, g, sg) if tri is not None
+            else _flat_rank(flags, g, sg))
+    idx = _flat_idx(g, sg)
+    delta = jnp.where(flags, idx - rank, 0)
+    inact = jnp.int32(-2147483648)
+    p = ((delta & 0x7FFF) << 16) | (vals & 0xFFFF)
+    p = jnp.where(flags, p, p | inact)
+    for dig in range(15):
+        off = 1 << dig
+        bitpos = 16 + dig
+        move_out = (p >= 0) & (
+            (jax.lax.shift_right_logical(p, bitpos) & 1) == 1)
+        p_in = _flat_shift_left(p, off, sg)
+        move_in = (p_in >= 0) & (
+            (jax.lax.shift_right_logical(p_in, bitpos) & 1) == 1) & (
+            idx < s - off)
+        p = jnp.where(move_in, p_in - (off << 16),
+                      jnp.where(move_out, p | inact, p))
+    # final stage: remaining shift is 0 or 32768 (delta bit 15).  The
+    # carry bit needn't ride the stages: after the 15 LSB stages the
+    # k-th active lane (stable rank k) sits at idx == k + 32768*hi, so
+    # ONE extra rank pass recovers hi in place (saves 15 hi-shifts).
+    act = p >= 0
+    rank2 = (_flat_rank_mm(act, tri, g, sg) if tri is not None
+             else _flat_rank(act, g, sg))
+    hi_out = act & (idx - rank2 >= 32768)
+    off = 32768
+    mo = jnp.where(hi_out, 1, 0)
+    p_in = _flat_shift_left(p, off, sg)          # off % sg == 0: sublane roll
+    mi = _flat_shift_left(mo, off, sg)
+    move_in = (mi == 1) & (idx < s - off)
+    p = jnp.where(move_in, p_in, jnp.where(hi_out, p | inact, p))
+    return p
+
+
 def _push_compact(vals, flags, g, sg, radix: int = 4):
     """Pack flagged values to the flat front (stable): out[rank_i] =
     vals[i].  LSB-first radix-4 (or radix-2) monotone left-compaction —
@@ -285,10 +350,12 @@ def _fetch_fc_fused(sym, thl_c, gc, sg):
     return f_sel, c_sel
 
 
-def _encode_body(x, sym, thl_ref, g, sg, gc=8):
+def _encode_body(x, sym, thl_ref, g, sg, gc=8, tri=None):
     """One encode step on states x (G, SG) i32 (u32 bit pattern) with
     symbols sym (G, SG) i32.  Returns (new_x, word_row i32 (G, SG)
-    prefix-compacted, count scalar i32)."""
+    prefix-compacted, count scalar i32).  `tri`: optional (sg, sg)
+    bf16 lower-triangular constant enabling the matmul rank and the
+    carry-hi packed compaction (r5)."""
     gc = math.gcd(g, gc)  # always a divisor of g: no short final slice
     parts = [
         _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
@@ -316,7 +383,11 @@ def _encode_body(x, sym, thl_ref, g, sg, gc=8):
         q = jnp.where(under, q - 1, q)
         r = jnp.where(under, r + f, r)
     x = (q << K_PROB) + r + cum
-    words = _push_compact(low16, emit, g, sg)
+    s = g * sg
+    if 32768 < s <= 65536 and tri is not None:
+        words = _push_compact_packed_wide(low16, emit, g, sg, tri=tri)
+    else:
+        words = _push_compact(low16, emit, g, sg)
     count = jnp.sum(jnp.where(emit, 1, 0))
     return x, words, count
 
@@ -344,6 +415,94 @@ def _make_kernel(u, g, sg):
         st_ref[:] = x
 
     return kernel
+
+
+def _make_kernel_u8(u, g, sg):
+    """u8-input compact-variant kernel (r5): symbols arrive as raw
+    (1, u, g, sg) uint8 blocks — the XLA-side column reversal and the
+    byte-packing passes of `_make_kernel` (3 shift-OR passes over the
+    whole grid, ~4.5 ms at bench shapes) move into the BlockSpec index
+    map (grid runs the blocks newest-first) and a per-sub-step u8 load.
+    tri_ref: (sg, sg) bf16 lower-triangular constant for the matmul
+    rank + carry-hi compaction."""
+    def kernel(sin_ref, thl_ref, tri_ref, out_ref, cnt_ref, st_ref, x_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.full((g, sg), RANS_L, jnp.int32)
+
+        x = x_ref[:]
+        tri = tri_ref[:]
+        for rr in range(u - 1, -1, -1):   # newest column of the block first
+            sym = sin_ref[0, rr].astype(jnp.int32)
+            x, words, count = _encode_body(x, sym, thl_ref, g, sg, tri=tri)
+            out_ref[0, rr * g:(rr + 1) * g, :] = words.astype(jnp.int16)
+            cnt_ref[0, rr:rr + 1, :] = jnp.full((1, 128), count, jnp.int32)
+        x_ref[:] = x
+        st_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("unroll", "sg", "interpret",
+                                             "lmajor"))
+def pallas_encode_grouped_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
+                             cums_g: jnp.ndarray, unroll: int = 4,
+                             sg: int = 1024, interpret: bool = False,
+                             lmajor: bool = False):
+    """pallas_encode_grouped with the u8 fast input path: identical
+    (rows, counts, states) output, but the only XLA-side data pass is
+    one (S, L) -> (L, S) transpose — or NONE with lmajor=True (syms
+    already (L, S), e.g. from rans.grid_lanes_lmajor)."""
+    g = freqs_g.shape[0]
+    if lmajor:
+        l, s = syms.shape
+    else:
+        s, l = syms.shape
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and 1 <= unroll <= 4
+    u = unroll
+    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
+    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
+    thl = jnp.concatenate(
+        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
+        axis=2).astype(jnp.bfloat16)
+    col = jnp.arange(sg, dtype=jnp.int32)
+    tri = (col[:, None] <= col[None, :]).astype(jnp.bfloat16)
+    nblk = l // u
+    sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
+    out, cnt, st = pl.pallas_call(
+        _make_kernel_u8(u, g, sg),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sg, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, u * g, sg), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u, 128), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, u * g, sg), jnp.int16),
+            jax.ShapeDtypeStruct((nblk, u, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, sg), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(sin, thl, tri)
+    rows = out.reshape(l, s)
+    counts = cnt[:, :, 0].reshape(l)
+    states = jax.lax.bitcast_convert_type(st.reshape(s), jnp.uint32)
+    return rows, counts, states
 
 
 def _make_kernel_raw(u, g, sg):
@@ -494,6 +653,101 @@ def pallas_encode_grouped_raw(syms: jnp.ndarray, freqs_g: jnp.ndarray,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, u * g, sg), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, u * g, sg), jnp.int32),
+            jax.ShapeDtypeStruct((g, sg), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(sin, thl)
+    states = jax.lax.bitcast_convert_type(st.reshape(s), jnp.uint32)
+    return le.reshape(l, s), states
+
+
+def _make_kernel_raw_u8(u, g, sg):
+    """Raw-variant kernel with u8 symbol input blocks (see
+    _make_kernel_u8): kills the XLA-side reversal + byte-packing."""
+    def kernel(sin_ref, thl_ref, le_ref, st_ref, x_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.full((g, sg), RANS_L, jnp.int32)
+
+        x = x_ref[:]
+        for rr in range(u - 1, -1, -1):
+            sym = sin_ref[0, rr].astype(jnp.int32)
+            gc = math.gcd(g, 8)
+            parts = [
+                _fetch_fc_fused(sym[ci:ci + gc], thl_ref[ci:ci + gc],
+                                gc, sg)
+                for ci in range(0, g, gc)
+            ]
+            f_f = jnp.concatenate([p[0] for p in parts], axis=0)
+            c_f = jnp.concatenate([p[1] for p in parts], axis=0)
+            f = f_f.astype(jnp.int32)
+            cum = c_f.astype(jnp.int32)
+            emit = jax.lax.shift_right_logical(x, _SHIFT_EMIT) >= f
+            low16 = x & 0xFFFF
+            x = jnp.where(emit, jax.lax.shift_right_logical(x, 16), x)
+            x_hi = jax.lax.shift_right_logical(x, 16).astype(jnp.float32)
+            x_lo = (x & 0xFFFF).astype(jnp.float32)
+            q = jnp.floor((x_hi * 65536.0 + x_lo) / f_f).astype(jnp.int32)
+            r = x - q * f
+            for _ in range(2):
+                over = r >= f
+                q = jnp.where(over, q + 1, q)
+                r = jnp.where(over, r - f, r)
+                under = r < 0
+                q = jnp.where(under, q - 1, q)
+                r = jnp.where(under, r + f, r)
+            x = (q << K_PROB) + r + cum
+            le_ref[0, rr * g:(rr + 1) * g, :] = \
+                low16 | (jnp.where(emit, 1, 0) << 16)
+        x_ref[:] = x
+        st_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("unroll", "sg", "interpret",
+                                             "lmajor"))
+def pallas_encode_grouped_raw_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
+                                 cums_g: jnp.ndarray, unroll: int = 4,
+                                 sg: int = 1024, interpret: bool = False,
+                                 lmajor: bool = False):
+    """pallas_encode_grouped_raw with the u8 fast input path (and
+    lmajor=True to take (L, S) directly from grid_lanes_lmajor)."""
+    g = freqs_g.shape[0]
+    if lmajor:
+        l, s = syms.shape
+    else:
+        s, l = syms.shape
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and 1 <= unroll <= 4
+    u = unroll
+    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
+    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
+    thl = jnp.concatenate(
+        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
+        axis=2).astype(jnp.bfloat16)
+    nblk = l // u
+    sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
+    le, st = pl.pallas_call(
+        _make_kernel_raw_u8(u, g, sg),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),

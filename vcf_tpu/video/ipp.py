@@ -382,27 +382,29 @@ class IPPCodec:
         m, s = self.vcfg.me_block, self.vcfg.search_range
         from vcf_tpu.ops.pallas import mc_kernel
         from vcf_tpu.ops.pallas.dct_kernel import (
-            fused_dct_quantize, fused_dequantize_idct)
+            fused_cdct_quantize, fused_dequantize_cdct)
 
         m_fwd = np.asarray(color_ops.YCOCG_FWD, np.float32)
         m_inv = np.asarray(color_ops.YCOCG_INV, np.float32)
+        mf_t = tuple(tuple(float(v) for v in row) for row in m_fwd)
+        mi_t = tuple(tuple(float(v) for v in row) for row in m_inv)
         lw = np.asarray([0.299, 0.587, 0.114], np.float32)
 
-        def enc_p(img_p):                  # (3, H, W) f32 pixels
-            x = img_p - 128.0
-            ct = jnp.einsum("dc,chw->dhw", jnp.asarray(m_fwd), x,
-                            precision=jax.lax.Precision.HIGHEST)
-            return fused_dct_quantize(ct, b=b, qss=qss, offset=128,
-                                      grid_layout=True,
-                                      interpret=interpret)
+        # color-fused kernels (r5): pixels/residuals in the closed loop
+        # are exact integers in f32 (MC copies rounded pixels), so the
+        # u8 cast at the kernel boundary is lossless and the per-step
+        # color einsums (2 x ~25 MB f32 HBM round trips per frame)
+        # disappear into the DCT kernels
+
+        def enc_p(img_p):                  # (3, H, W) f32 integer pixels
+            return fused_cdct_quantize(
+                img_p.astype(jnp.uint8), mf_t, b=b, qss=qss, offset=128,
+                grid_layout=True, interpret=interpret)
 
         def dec_p(k):                      # (3, H, W) u8 grid layout
-            ct = fused_dequantize_idct(k, b=b, qss=qss, offset=128,
-                                       grid_layout=True,
-                                       interpret=interpret)
-            y = jnp.einsum("dc,chw->dhw", jnp.asarray(m_inv), ct,
-                           precision=jax.lax.Precision.HIGHEST) + 128.0
-            return jnp.clip(jnp.round(y), 0.0, 255.0)
+            return fused_dequantize_cdct(
+                k, mi_t, b=b, qss=qss, offset=128, grid_layout=True,
+                interpret=interpret).astype(jnp.float32)
 
         def luma_p(fr):                    # (3, H, W) f32 0..255
             return jnp.einsum("chw,c->hw", fr, jnp.asarray(lw))

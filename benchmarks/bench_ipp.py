@@ -61,8 +61,9 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
 
     def to_lanes(planes):
         if use_planar:
-            return rans_mod.grid_lanes(planes.reshape(-1, 3, h, w), b,
-                                       s_streams, rows=32, cw=cw)
+            # L-major layout feeds the u8 encode kernel directly (r5)
+            return rans_mod.grid_lanes_lmajor(
+                planes.reshape(-1, 3, h, w), b, s_streams, rows=32, cw=cw)
         return rans_mod.block_lanes(planes.reshape(-1, h, w, 3), b,
                                     s_streams)
 
@@ -73,6 +74,8 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
     # library path does the same via GroupedRANSCodec.freeze_tables)
     planes0, _ = gop_enc(gops_dev)
     lanes0 = to_lanes(planes0)
+    if use_planar:
+        lanes0 = lanes0.T          # histograms expect (S, L)
     counts0 = np.asarray(rans_mod.group_histograms(lanes0, g))
     freqs_g, cums_g = rans_mod.freqs_from_counts(counts0)
     fg_j, cg_j = jnp.asarray(freqs_g), jnp.asarray(cums_g)
@@ -88,8 +91,8 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
         def encode_full(gd):
             planes, mvs = gop_enc(gd)
             lanes = to_lanes(planes)
-            le, st = re_.pallas_encode_grouped_raw(
-                lanes, fg_j, cg_j, unroll=unroll_d, sg=sg)
+            le, st = re_.pallas_encode_grouped_raw_u8(
+                lanes, fg_j, cg_j, unroll=unroll_d, sg=sg, lmajor=True)
             return planes, mvs, le, st
 
         @jax.jit
@@ -144,7 +147,8 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
             from vcf_tpu.ops.pallas import rans_decode as rd
 
             return rd.pallas_decode_grouped_grid(
-                le, stt, fg_j, cg_j, l_steps, unroll=unroll_d, sg=sg)
+                le, stt, fg_j, cg_j, l_steps, unroll=unroll_d, sg=sg,
+                lmajor=True)
         if use_pallas:
             from vcf_tpu.ops.pallas import rans_decode as rd
 
@@ -160,7 +164,9 @@ def run(n_frames=8, h=1088, w=1920, gop=4, out_path=None):
     def decode_full(wp, cts, stt, mv, le):
         lanes = dec_lanes(wp, cts, stt, le)
         if use_planar:
-            planes_d = rans_mod.grid_unlanes(
+            unlane = (rans_mod.grid_unlanes_lmajor if use_grid
+                      else rans_mod.grid_unlanes)
+            planes_d = unlane(
                 lanes, b, (n_frames, 3, h, w), rows=32, cw=cw
             ).reshape(-1, gop, 3, h, w)
             recs = codec._gop_decode_grid_batch(planes_d, mv)

@@ -103,7 +103,7 @@ def _make_kernel_ctx_raw(u, g, sg):
             x_lo = (x & 0xFFFF).astype(jnp.float32)
             q = jnp.floor((x_hi * 65536.0 + x_lo) / f_f).astype(jnp.int32)
             r = x - q * f
-            for _ in range(2):
+            for _ in range(1):  # one +-1 round suffices (see _encode_body)
                 over = r >= f
                 q = jnp.where(over, q + 1, q)
                 r = jnp.where(over, r - f, r)
@@ -171,6 +171,116 @@ def pallas_encode_ctx_raw(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
         interpret=interpret,
     )(sin, cin, thl)
+    states = jax.lax.bitcast_convert_type(st.reshape(s), jnp.uint32)
+    return le.reshape(l, s), states
+
+
+def _make_kernel_ctx_raw_u8(u, g, sg, nblk):
+    """u8-input ctx raw kernel (r5): symbols arrive as raw
+    (1, u, g, sg) uint8 blocks and the CLASS is computed IN-KERNEL from
+    the previous symbol (same block, or the last row of the preceding
+    block passed as a second view of the input) — the XLA-side
+    reversal, byte-packing, and the whole 2-bit class plane are gone
+    (classes never touch HBM at all)."""
+    def kernel(sin_ref, sprev_ref, thl_ref, le_ref, st_ref, x_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_ref[:] = jnp.full((g, sg), RANS_L, jnp.int32)
+
+        x = x_ref[:]
+        for rr in range(u - 1, -1, -1):
+            sym = sin_ref[0, rr].astype(jnp.int32)
+            if rr > 0:
+                prev = sin_ref[0, rr - 1].astype(jnp.int32)
+                cls = _cls_of(prev)
+            else:
+                prev = sprev_ref[0, u - 1].astype(jnp.int32)
+                # global col 0 (block t == nblk-1, rr == 0) has no
+                # predecessor: class 0 by contract
+                cls = jnp.where(t == nblk - 1, 0, _cls_of(prev))
+            gc = math.gcd(g, 8)
+            parts = [
+                _fetch_fc_ctx(sym[ci:ci + gc], cls[ci:ci + gc],
+                              thl_ref[ci:ci + gc], gc, sg)
+                for ci in range(0, g, gc)
+            ]
+            f_f = jnp.concatenate([p[0] for p in parts], axis=0)
+            c_f = jnp.concatenate([p[1] for p in parts], axis=0)
+            f = f_f.astype(jnp.int32)
+            cum = c_f.astype(jnp.int32)
+            emit = jax.lax.shift_right_logical(x, _SHIFT_EMIT) >= f
+            low16 = x & 0xFFFF
+            x = jnp.where(emit, jax.lax.shift_right_logical(x, 16), x)
+            x_hi = jax.lax.shift_right_logical(x, 16).astype(jnp.float32)
+            x_lo = (x & 0xFFFF).astype(jnp.float32)
+            q = jnp.floor((x_hi * 65536.0 + x_lo) / f_f).astype(jnp.int32)
+            r = x - q * f
+            for _ in range(1):  # one +-1 round suffices (see _encode_body)
+                over = r >= f
+                q = jnp.where(over, q + 1, q)
+                r = jnp.where(over, r - f, r)
+                under = r < 0
+                q = jnp.where(under, q - 1, q)
+                r = jnp.where(under, r + f, r)
+            x = (q << K_PROB) + r + cum
+            le_ref[0, rr * g:(rr + 1) * g, :] = \
+                low16 | (jnp.where(emit, 1, 0) << 16)
+        st_ref[:] = x
+        x_ref[:] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("unroll", "sg", "interpret",
+                                             "lmajor"))
+def pallas_encode_ctx_raw_u8(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
+                             cums_gc: jnp.ndarray, unroll: int = 4,
+                             sg: int = 1024, interpret: bool = False,
+                             lmajor: bool = False):
+    """pallas_encode_ctx_raw with the u8 fast input path: identical
+    (le, states) output; the only XLA-side data pass is one
+    (S, L) -> (L, S) transpose (none with lmajor=True)."""
+    g = freqs_gc.shape[0]
+    if lmajor:
+        l, s = syms.shape
+    else:
+        s, l = syms.shape
+    assert s == g * sg, (s, g, sg)
+    assert l % unroll == 0 and 1 <= unroll <= 4
+    u = unroll
+    thl = _split_tables_ctx(freqs_gc, cums_gc)
+    nblk = l // u
+    sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
+    le, st = pl.pallas_call(
+        _make_kernel_ctx_raw_u8(u, g, sg, nblk),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, u, g, sg),
+                         lambda t: (nblk - 1 - t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # the PRECEDING block (clamped at 0; masked for col 0): its
+            # last row is the previous symbol of this block's first col
+            pl.BlockSpec((1, u, g, sg),
+                         lambda t: (jnp.maximum(nblk - 2 - t, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, N_CTX * 16, 64), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, u * g, sg), lambda t: (nblk - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, sg), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, u * g, sg), jnp.int32),
+            jax.ShapeDtypeStruct((g, sg), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
+        interpret=interpret,
+    )(sin, sin, thl)
     states = jax.lax.bitcast_convert_type(st.reshape(s), jnp.uint32)
     return le.reshape(l, s), states
 

@@ -98,6 +98,9 @@ def add_stage_flags(p: argparse.ArgumentParser) -> None:
                    help="RD-optimize the DCT block size over 2..128 "
                         "(J = bytes + Lambda*RMSE, src/2D-DCT.py:533-579)")
     p.add_argument("--order", type=int, default=1)
+    p.add_argument("--classes", type=int, default=4,
+                   help="cgrans context classes: 4 (speed) or 15 "
+                        "(rate priority, ~-19%% vs order-0)")
     p.add_argument("--tiles", type=int, default=1,
                    help="independent per-tile adaptive streams for "
                         "CBAAC/CBAHC (>1 trades a few %% rate for "
@@ -157,6 +160,7 @@ def config_from_args(args) -> CodecConfig:
         bm3d_sigma=args.sigma,
         context_order=args.order,
         context_tiles=args.tiles,
+        context_classes=args.classes,
         seed=args.seed,
     )
 

@@ -80,6 +80,8 @@ class CodecConfig:
     context_order: int = 1       # --order for cbahc/cbaac
     context_tiles: int = 1       # >1: independent per-tile adaptive streams
                                  # (parallel encode/decode, SURVEY §7.3)
+    context_classes: int = 4     # --classes for cgrans: 4 (speed) or 15
+                                 # (rate priority, ~-19% vs order-0)
     zlib_level: int = 6
 
     # ---- execution knobs -------------------------------------------------
@@ -99,6 +101,8 @@ class CodecConfig:
             raise ValueError("block_size must be >= 2")
         if self.qss < 1:
             raise ValueError("qss must be >= 1")
+        if self.context_classes not in (4, 15):
+            raise ValueError("context_classes must be 4 or 15")
 
     def replace(self, **kw) -> "CodecConfig":
         return dataclasses.replace(self, **kw)

@@ -840,6 +840,14 @@ def subband_unlanes_ctx(syms: jnp.ndarray, b: int, shape) -> jnp.ndarray:
 
 N_CTX = 4
 
+#: |prev - 128| thresholds per class count: class = #{b : d >= b}.
+#: 4 = the default speed point; 15 = the rate-priority point (log-ish
+#: magnitude buckets; measured -19% over order-0 on the bench planes).
+CTX_BOUNDS = {
+    4: (1, 2, 5),
+    15: (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97),
+}
+
 
 def ctx_class(prev: jnp.ndarray) -> jnp.ndarray:
     """Previous symbol -> context class by |prev - 128|:
@@ -850,13 +858,25 @@ def ctx_class(prev: jnp.ndarray) -> jnp.ndarray:
                                           jnp.where(d <= 4, 2, 3)))
 
 
+def ctx_class_n(prev: jnp.ndarray, n_ctx: int) -> jnp.ndarray:
+    """ctx_class generalized to any registered class count."""
+    if n_ctx == 4:
+        return ctx_class(prev)
+    d = jnp.abs(prev.astype(jnp.int32) - 128)
+    cls = jnp.zeros_like(d)
+    for b in CTX_BOUNDS[n_ctx]:
+        cls = cls + jnp.where(d >= b, 1, 0)
+    return cls
+
+
 def np_encode_ctx(syms: np.ndarray, freqs_gc: np.ndarray):
     """Reference mirror of jax_encode_ctx (same word order conventions
     as np_encode; tests pin the XLA path against this)."""
     s_streams, l = syms.shape
-    g = freqs_gc.shape[0]
+    g, n_ctx = freqs_gc.shape[:2]
+    bounds = CTX_BOUNDS[n_ctx]
     sg = s_streams // g
-    cums = np.concatenate([np.zeros((g, N_CTX, 1), np.uint64),
+    cums = np.concatenate([np.zeros((g, n_ctx, 1), np.uint64),
                            np.cumsum(freqs_gc, axis=2)], axis=2)
     x = np.full(s_streams, RANS_L, np.uint64)
     emitted = []
@@ -867,7 +887,7 @@ def np_encode_ctx(syms: np.ndarray, freqs_gc: np.ndarray):
                 c = 0
             else:
                 d = abs(int(syms[s, t - 1]) - 128)
-                c = 0 if d == 0 else (1 if d == 1 else (2 if d <= 4 else 3))
+                c = sum(d >= b for b in bounds)
             v = int(syms[s, t])
             f = int(freqs_gc[gi, c, v])
             if (x[s] >> _SHIFT_EMIT) >= f:
@@ -877,32 +897,33 @@ def np_encode_ctx(syms: np.ndarray, freqs_gc: np.ndarray):
     return np.asarray(emitted[::-1], np.uint16), x.astype(np.uint32)
 
 
-def ctx_group_histograms(lanes: jnp.ndarray, g: int) -> jnp.ndarray:
-    """(S, L) symbols -> (G, N_CTX, 256) raw counts of (class, symbol)
-    pairs per group (scatter-free: one 1024-bin equality histogram per
-    group over the combined index)."""
+def ctx_group_histograms(lanes: jnp.ndarray, g: int,
+                         n_ctx: int = N_CTX) -> jnp.ndarray:
+    """(S, L) symbols -> (G, n_ctx, 256) raw counts of (class, symbol)
+    pairs per group (scatter-free: one equality histogram per group
+    over the combined index)."""
     from vcf_tpu.ops.hist import histogram
 
     s_streams, l = lanes.shape
     sg = s_streams // g
     prev = jnp.concatenate(
         [jnp.full((s_streams, 1), 128, lanes.dtype), lanes[:, :-1]], axis=1)
-    joint = ctx_class(prev) * 256 + lanes.astype(jnp.int32)  # (S, L)
+    joint = ctx_class_n(prev, n_ctx) * 256 + lanes.astype(jnp.int32)
     jg = joint.reshape(g, sg * l)
-    out = jax.vmap(lambda row: histogram(row, 1024))(jg)
-    return out.reshape(g, N_CTX, 256)
+    out = jax.vmap(lambda row: histogram(row, n_ctx * 256))(jg)
+    return out.reshape(g, n_ctx, 256)
 
 
 def ctx_freqs_from_counts(counts_gc: np.ndarray):
-    """(G, N_CTX, 256) counts -> quantized (freqs_gc, cums_gc) u32."""
-    g = counts_gc.shape[0]
+    """(G, n_ctx, 256) counts -> quantized (freqs_gc, cums_gc) u32."""
+    g, n_ctx = counts_gc.shape[:2]
     freqs = np.stack([
         np.stack([quantize_freqs(np.asarray(counts_gc[gi, c]), min_all=True)
-                  for c in range(N_CTX)])
+                  for c in range(n_ctx)])
         for gi in range(g)
     ]).astype(np.uint32)
     cums = np.concatenate(
-        [np.zeros((g, N_CTX, 1), np.uint32),
+        [np.zeros((g, n_ctx, 1), np.uint32),
          np.cumsum(freqs, axis=2)[:, :, :255].astype(np.uint32)], axis=2)
     return freqs, cums
 
@@ -915,16 +936,16 @@ def jax_encode_ctx(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
     is the grouped bucket-matmul with (class x hi-nibble) buckets.
     Same output contract as jax_encode_grouped."""
     s_streams, l = syms.shape
-    g = freqs_gc.shape[0]
+    g, n_ctx = freqs_gc.shape[:2]
     sg = s_streams // g
     prev = jnp.concatenate(
         [jnp.full((s_streams, 1), 128, syms.dtype), syms[:, :-1]], axis=1)
-    cls = ctx_class(prev)
+    cls = ctx_class_n(prev, n_ctx)
     s32 = syms.astype(jnp.int32)
-    fre = freqs_gc.reshape(g, N_CTX * 256).astype(jnp.float32)
-    cue = cums_gc.reshape(g, N_CTX * 256).astype(jnp.float32)
-    t64 = jnp.stack([fre.reshape(g, N_CTX * 16, 16),
-                     cue.reshape(g, N_CTX * 16, 16)], -1)
+    fre = freqs_gc.reshape(g, n_ctx * 256).astype(jnp.float32)
+    cue = cums_gc.reshape(g, n_ctx * 256).astype(jnp.float32)
+    t64 = jnp.stack([fre.reshape(g, n_ctx * 16, 16),
+                     cue.reshape(g, n_ctx * 16, 16)], -1)
 
     def step(x, inp):
         sym_t, cls_t = inp
@@ -932,7 +953,7 @@ def jax_encode_ctx(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
         hi = (j >> 4).reshape(g, sg)
         lo = (j & 15).reshape(g, sg)
         oh = (hi[:, :, None]
-              == jnp.arange(N_CTX * 16)[None, None, :]).astype(jnp.float32)
+              == jnp.arange(n_ctx * 16)[None, None, :]).astype(jnp.float32)
         fetched = jnp.einsum("gsb,gbkd->gskd", oh, t64,
                              precision=jax.lax.Precision.HIGHEST)
         ohlo = (lo[:, :, None]
@@ -962,21 +983,21 @@ def jax_decode_ctx(words_padded: jnp.ndarray, states: jnp.ndarray,
     class-dependent boundary/delta tables are selected per lane with a
     small one-hot einsum before the standard ge-resolve."""
     s_streams = states.shape[0]
-    g = freqs_gc.shape[0]
+    g, n_ctx = freqs_gc.shape[:2]
     sg = s_streams // g
     c_f = cums_gc.astype(jnp.float32)                    # (G, C, 256)
     tab = jnp.stack(
         [jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32),
-                          (g, N_CTX, 256)),
+                          (g, n_ctx, 256)),
          freqs_gc.astype(jnp.float32), c_f], -1)         # (G, C, 256, 3)
     d_tab = tab - jnp.concatenate(
-        [jnp.zeros((g, N_CTX, 1, 3), jnp.float32), tab[:, :, :-1]], 2)
+        [jnp.zeros((g, n_ctx, 1, 3), jnp.float32), tab[:, :, :-1]], 2)
 
     def step(carry, _):
         x, ptr, prev = carry
-        cls = ctx_class(prev).reshape(g, sg)
+        cls = ctx_class_n(prev, n_ctx).reshape(g, sg)
         ohc = (cls[:, :, None]
-               == jnp.arange(N_CTX)[None, None, :]).astype(jnp.float32)
+               == jnp.arange(n_ctx)[None, None, :]).astype(jnp.float32)
         dt = jnp.einsum("gsc,gcbd->gsbd", ohc, d_tab,
                         precision=jax.lax.Precision.HIGHEST)
         bounds = jnp.einsum("gsc,gcb->gsb", ohc, c_f,
@@ -1514,14 +1535,18 @@ class CtxRANSCodec(EntropyCodec):
 
     file_extension = ".cgrans"
 
-    def __init__(self, block_size: int = 8, n_streams: int = 65536):
+    def __init__(self, block_size: int = 8, n_streams: int = 65536,
+                 n_ctx: int = N_CTX):
+        assert n_ctx in CTX_BOUNDS or n_ctx == N_CTX, n_ctx
         self.b = block_size
         self.grouped = GroupedRANSCodec(block_size, n_streams)
         self.n_streams = n_streams
+        self.n_ctx = n_ctx
 
     @classmethod
     def from_config(cls, config=None):
-        return cls(block_size=getattr(config, "block_size", 8))
+        return cls(block_size=getattr(config, "block_size", 8),
+                   n_ctx=getattr(config, "context_classes", N_CTX))
 
     #: below this many symbols the (G, N_CTX, 256) tables sidecar
     #: outweighs the ~8% stream saving; delegate to order-0
@@ -1538,7 +1563,7 @@ class CtxRANSCodec(EntropyCodec):
         s_streams = max(g, (s_streams // g) * g)
         l = arr.size // s_streams
         lanes = subband_lanes_ctx(jnp.asarray(planes), self.b, s_streams)
-        counts_gc = np.asarray(ctx_group_histograms(lanes, g))
+        counts_gc = np.asarray(ctx_group_histograms(lanes, g, self.n_ctx))
         freqs_gc, cums_gc = ctx_freqs_from_counts(counts_gc)
         sg = s_streams // g
         if (jax.default_backend() == "tpu" and sg % 128 == 0
@@ -1549,7 +1574,7 @@ class CtxRANSCodec(EntropyCodec):
             from vcf_tpu.ops.pallas import rans_ctx as _rc
             from vcf_tpu.ops.pallas import rans_encode as _re
 
-            le, states = _rc.pallas_encode_ctx_raw(
+            le, states = _rc.pallas_encode_ctx_raw_u8(
                 lanes, jnp.asarray(freqs_gc), jnp.asarray(cums_gc),
                 unroll=_pick_unroll(l), sg=sg)
             words, n_words, counts = _re.finish_stream_pallas(le, radix=2)
@@ -1560,8 +1585,9 @@ class CtxRANSCodec(EntropyCodec):
         payload = np.asarray(words[:n_words]).tobytes()
         counts_z = zlib.compress(
             np.asarray(counts).astype("<u4").tobytes(), 9)
-        head = struct.pack(f"<BIIIB{arr.ndim}I", 1, s_streams, l, n_words,
-                           arr.ndim, *arr.shape)
+        # version 2 appends the class count (v1 readers assume 4)
+        head = struct.pack(f"<BBIIIB{arr.ndim}I", 2, self.n_ctx,
+                           s_streams, l, n_words, arr.ndim, *arr.shape)
         side = head + struct.pack("<I", len(counts_z)) + counts_z
         side += np.asarray(states).astype("<u4").tobytes()
         side += zlib.compress(freqs_gc.astype("<u2").tobytes(), 9)
@@ -1571,13 +1597,19 @@ class CtxRANSCodec(EntropyCodec):
         blob = side["cgrans_model"]
         if blob[0] == 0:
             return self.grouped.decode(payload, {"grans_model": blob[1:]})
-        s_streams, l, n_words, ndim = struct.unpack_from("<IIIB", blob, 1)
-        shape = struct.unpack_from(f"<{ndim}I", blob, 14)
+        if blob[0] >= 2:
+            n_ctx = blob[1]
+            base = 2
+        else:
+            n_ctx = 4
+            base = 1
+        s_streams, l, n_words, ndim = struct.unpack_from("<IIIB", blob, base)
+        shape = struct.unpack_from(f"<{ndim}I", blob, base + 13)
         if int(l) * int(s_streams) != int(np.prod(shape)):
             raise ValueError(
                 f"cgrans sidecar inconsistent: {s_streams} lanes x {l} "
                 f"steps != prod{shape} symbols")
-        off = 14 + 4 * ndim
+        off = base + 13 + 4 * ndim
         (cz_len,) = struct.unpack_from("<I", blob, off)
         counts = np.frombuffer(
             zlib.decompress(blob[off + 4: off + 4 + cz_len]), "<u4"
@@ -1588,9 +1620,9 @@ class CtxRANSCodec(EntropyCodec):
         g = self.b * self.b
         freqs_gc = np.frombuffer(
             zlib.decompress(blob[off:]), "<u2").astype(np.uint32).reshape(
-                g, N_CTX, 256)
+                g, n_ctx, 256)
         cums_gc = np.concatenate(
-            [np.zeros((g, N_CTX, 1), np.uint32),
+            [np.zeros((g, n_ctx, 1), np.uint32),
              np.cumsum(freqs_gc, axis=2)[:, :, :255].astype(np.uint32)],
             axis=2)
         words = np.frombuffer(payload, "<u2", n_words).astype(np.uint16)

@@ -34,6 +34,14 @@ from vcf_tpu.ops.pallas.rans_encode import K_PROB, RANS_L, _SHIFT_EMIT
 N_CTX = 4
 MASK = (1 << K_PROB) - 1
 
+# |prev - 128| class thresholds per registered class count (mirror of
+# entropy/rans.py CTX_BOUNDS; kept local so the kernel module has no
+# circular import)
+CTX_BOUNDS = {
+    4: (1, 2, 5),
+    15: (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97),
+}
+
 
 def _cls_of(sym32):
     """|sym - 128| -> class 0..3 ({0}, {1}, {2-4}, {>=5}); int32 in/out."""
@@ -42,23 +50,33 @@ def _cls_of(sym32):
                                           jnp.where(d <= 4, 2, 3)))
 
 
+def _cls_of_n(sym32, nc):
+    if nc == 4:
+        return _cls_of(sym32)
+    d = jnp.abs(sym32 - 128)
+    cls = jnp.zeros_like(d)
+    for b in CTX_BOUNDS[nc]:
+        cls = cls + jnp.where(d >= b, 1, 0)
+    return cls
+
+
 def _split_tables_ctx(freqs_gc, cums_gc):
-    """(G, 4, 256) tables -> encode fetch table (G, 64, 64) bf16
+    """(G, NC, 256) tables -> encode fetch table (G, NC*16, 64) bf16
     [f_hi | f_lo | c_hi | c_lo] per (class, hi-nibble) bucket."""
-    g = freqs_gc.shape[0]
-    f16 = freqs_gc.astype(jnp.int32).reshape(g, N_CTX * 16, 16)
-    c16 = cums_gc.astype(jnp.int32).reshape(g, N_CTX * 16, 16)
+    g, nc = freqs_gc.shape[:2]
+    f16 = freqs_gc.astype(jnp.int32).reshape(g, nc * 16, 16)
+    c16 = cums_gc.astype(jnp.int32).reshape(g, nc * 16, 16)
     return jnp.concatenate(
         [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
-        axis=2).astype(jnp.bfloat16)                     # (G, 64, 64)
+        axis=2).astype(jnp.bfloat16)                     # (G, NC*16, 64)
 
 
-def _fetch_fc_ctx(sym, cls, thl_c, gc, sg):
+def _fetch_fc_ctx(sym, cls, thl_c, gc, sg, nc=N_CTX):
     """(f, cum) f32 for symbols `sym` with classes `cls` (both
-    (GC, SG) i32) from the (GC, 64, 64) joint split table."""
+    (GC, SG) i32) from the (GC, NC*16, 64) joint split table."""
     hi = cls * 16 + (sym >> 4)
     lo_f = (sym & 15).astype(jnp.float32)
-    i64 = jax.lax.broadcasted_iota(jnp.int32, (gc, N_CTX * 16, sg), 1)
+    i64 = jax.lax.broadcasted_iota(jnp.int32, (gc, nc * 16, sg), 1)
     oh = jnp.where(hi[:, None, :] == i64, 1.0, 0.0).astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((0,), (0,)))
     fetched = jax.lax.dot_general(thl_c, oh, dn,
@@ -175,7 +193,7 @@ def pallas_encode_ctx_raw(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
     return le.reshape(l, s), states
 
 
-def _make_kernel_ctx_raw_u8(u, g, sg, nblk):
+def _make_kernel_ctx_raw_u8(u, g, sg, nblk, nc=N_CTX):
     """u8-input ctx raw kernel (r5): symbols arrive as raw
     (1, u, g, sg) uint8 blocks and the CLASS is computed IN-KERNEL from
     the previous symbol (same block, or the last row of the preceding
@@ -194,16 +212,16 @@ def _make_kernel_ctx_raw_u8(u, g, sg, nblk):
             sym = sin_ref[0, rr].astype(jnp.int32)
             if rr > 0:
                 prev = sin_ref[0, rr - 1].astype(jnp.int32)
-                cls = _cls_of(prev)
+                cls = _cls_of_n(prev, nc)
             else:
                 prev = sprev_ref[0, u - 1].astype(jnp.int32)
                 # global col 0 (block t == nblk-1, rr == 0) has no
                 # predecessor: class 0 by contract
-                cls = jnp.where(t == nblk - 1, 0, _cls_of(prev))
+                cls = jnp.where(t == nblk - 1, 0, _cls_of_n(prev, nc))
             gc = math.gcd(g, 8)
             parts = [
                 _fetch_fc_ctx(sym[ci:ci + gc], cls[ci:ci + gc],
-                              thl_ref[ci:ci + gc], gc, sg)
+                              thl_ref[ci:ci + gc], gc, sg, nc=nc)
                 for ci in range(0, g, gc)
             ]
             f_f = jnp.concatenate([p[0] for p in parts], axis=0)
@@ -250,11 +268,12 @@ def pallas_encode_ctx_raw_u8(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
     assert s == g * sg, (s, g, sg)
     assert l % unroll == 0 and 1 <= unroll <= 4
     u = unroll
+    nc = freqs_gc.shape[1]
     thl = _split_tables_ctx(freqs_gc, cums_gc)
     nblk = l // u
     sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
     le, st = pl.pallas_call(
-        _make_kernel_ctx_raw_u8(u, g, sg, nblk),
+        _make_kernel_ctx_raw_u8(u, g, sg, nblk, nc=nc),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((1, u, g, sg),
@@ -265,7 +284,7 @@ def pallas_encode_ctx_raw_u8(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
             pl.BlockSpec((1, u, g, sg),
                          lambda t: (jnp.maximum(nblk - 2 - t, 0), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_CTX * 16, 64), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, nc * 16, 64), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -290,37 +309,49 @@ def pallas_encode_ctx_raw_u8(syms: jnp.ndarray, freqs_gc: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _split_resolve_tables_ctx(cums_gc):
-    """(G, 4, 256) u32 cumulative boundaries -> (coarse (G, 4, 16) f32,
-    thl (G, 64, 34) bf16) for the class-conditioned resolve (17
-    boundaries per (class, bucket), hi/lo byte split)."""
-    g = cums_gc.shape[0]
+    """(G, NC, 256) u32 cumulative boundaries -> (coarse (G, NC, 16)
+    f32, thl (G, NC*16, 34) bf16) for the class-conditioned resolve
+    (17 boundaries per (class, bucket), hi/lo byte split)."""
+    g, nc = cums_gc.shape[:2]
     cx = jnp.concatenate(
         [jnp.asarray(cums_gc).astype(jnp.int32),
-         jnp.full((g, N_CTX, 1), 1 << K_PROB, jnp.int32)], axis=2)
+         jnp.full((g, nc, 1), 1 << K_PROB, jnp.int32)], axis=2)
     idx = (jnp.arange(16)[:, None] * 16 + jnp.arange(17)[None, :]).reshape(-1)
-    t17 = cx[:, :, idx].reshape(g, N_CTX * 16, 17)
+    t17 = cx[:, :, idx].reshape(g, nc * 16, 17)
     thl = jnp.concatenate([(t17 >> 8).astype(jnp.bfloat16),
                            (t17 & 255).astype(jnp.bfloat16)], axis=2)
-    coarse = cx[:, :, :256:16].astype(jnp.float32)       # (G, 4, 16)
+    coarse = cx[:, :, :256:16].astype(jnp.float32)       # (G, NC, 16)
     return coarse, thl
 
 
-def _resolve_chunk_ctx(slot_f, cls, coarse_c, thl_c, gc, sg):
+def _resolve_chunk_ctx(slot_f, cls, coarse_c, thl_c, gc, sg, nc=N_CTX):
     """Class-conditioned symbol resolve: slot_f (GC, SG) f32, cls
     (GC, SG) i32 -> (sym, f, cum) i32 each (GC, SG).
-    coarse_c (GC, 4, 16) f32, thl_c (GC, 64, 34) bf16."""
-    # class-select the 16 coarse boundaries (arithmetic select: the
-    # boundaries are exact f32 <= 32768)
-    bucket = jnp.zeros((gc, sg), jnp.int32)
-    clsf = cls.astype(jnp.float32)
-    for j in range(1, 16):
-        cj = coarse_c[:, :, j]                           # (GC, 4)
-        sel = jnp.zeros((gc, sg), jnp.float32)
-        for c in range(N_CTX):
-            sel += jnp.where(clsf == float(c), 1.0, 0.0) * cj[:, c:c + 1]
-        bucket += jnp.where(slot_f >= sel, 1, 0)
+    coarse_c (GC, NC, 16) f32, thl_c (GC, NC*16, 34) bf16.
+
+    The class-select of the 16 coarse boundaries runs as ONE bf16
+    matmul pair (hi/lo byte split — boundaries <= 2^15 so each byte is
+    exact; r5, replaces a 15 x NC arithmetic-select chain that would
+    not scale to the 15-class tables)."""
+    clsf = cls
+    i_nc = jax.lax.broadcasted_iota(jnp.int32, (gc, nc, sg), 1)
+    ohc = jnp.where(clsf[:, None, :] == i_nc,
+                    1.0, 0.0).astype(jnp.bfloat16)       # (GC, NC, SG)
+    co_i = coarse_c.astype(jnp.int32)
+    co_hi = (co_i >> 8).astype(jnp.bfloat16)             # (GC, NC, 16)
+    co_lo = (co_i & 255).astype(jnp.bfloat16)
+    dnn = (((1,), (1,)), ((0,), (0,)))
+    sel_hi = jax.lax.dot_general(                        # (GC, 16, SG)
+        co_hi.transpose(0, 2, 1), ohc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    sel_lo = jax.lax.dot_general(
+        co_lo.transpose(0, 2, 1), ohc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    sel = sel_hi * 256.0 + sel_lo                        # (GC, 16, SG)
+    bucket = jnp.sum(
+        jnp.where(slot_f[:, None, :] >= sel[:, 1:, :], 1, 0), axis=1)
     joint = cls * 16 + bucket
-    i64 = jax.lax.broadcasted_iota(jnp.int32, (gc, N_CTX * 16, sg), 1)
+    i64 = jax.lax.broadcasted_iota(jnp.int32, (gc, nc * 16, sg), 1)
     oh1 = jnp.where(joint[:, None, :] == i64,
                     1.0, 0.0).astype(jnp.bfloat16)       # (GC, 64, SG)
     dn = (((1,), (1,)), ((0,), (0,)))
@@ -339,7 +370,7 @@ def _resolve_chunk_ctx(slot_f, cls, coarse_c, thl_c, gc, sg):
     return sym, f, cum
 
 
-def _make_ctx_grid_kernel(u, g, sg):
+def _make_ctx_grid_kernel(u, g, sg, nc=N_CTX):
     def kernel(le_ref, st_in_ref, coarse_ref, thl_ref, out_ref, st_ref,
                prev_ref):
         t = pl.program_id(0)
@@ -353,14 +384,14 @@ def _make_ctx_grid_kernel(u, g, sg):
         prev = prev_ref[:]
         packed = jnp.zeros((g, sg), jnp.int32)
         for j in range(u):
-            cls_full = _cls_of(prev)
+            cls_full = _cls_of_n(prev, nc)
             slot = x & MASK
             slot_f = slot.astype(jnp.float32)
             gc = math.gcd(g, 8)
             parts = [
                 _resolve_chunk_ctx(slot_f[ci:ci + gc], cls_full[ci:ci + gc],
                                    coarse_ref[ci:ci + gc],
-                                   thl_ref[ci:ci + gc], gc, sg)
+                                   thl_ref[ci:ci + gc], gc, sg, nc=nc)
                 for ci in range(0, g, gc)
             ]
             sym = jnp.concatenate([p[0] for p in parts], axis=0)
@@ -394,20 +425,21 @@ def pallas_decode_ctx_grid(le: jnp.ndarray, states: jnp.ndarray,
     assert s == g * sg, (s, g, sg)
     assert l % unroll == 0 and 1 <= unroll <= 4
     u = unroll
+    nc = freqs_gc.shape[1]
     coarse, thl = _split_resolve_tables_ctx(cums_gc)
     le3 = le.reshape(l // u, u * g, sg)
     st2 = jax.lax.bitcast_convert_type(states, jnp.int32).reshape(g, sg)
     out = pl.pallas_call(
-        _make_ctx_grid_kernel(u, g, sg),
+        _make_ctx_grid_kernel(u, g, sg, nc=nc),
         grid=(l // u,),
         in_specs=[
             pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, sg), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_CTX, 16), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, nc, 16), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_CTX * 16, 34), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, nc * 16, 34), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
@@ -422,7 +454,7 @@ def pallas_decode_ctx_grid(le: jnp.ndarray, states: jnp.ndarray,
     return bytes_.astype(jnp.uint8).reshape(l, g * sg).T
 
 
-def _make_ctx_kernel(u, g, sg, wr):
+def _make_ctx_kernel(u, g, sg, wr, nc=N_CTX):
     """Windows variant: the wire's packed word windows route to
     renorming lanes in-kernel (rans_decode._pull_expand), with the
     class carried from the previously decoded symbol."""
@@ -441,14 +473,14 @@ def _make_ctx_kernel(u, g, sg, wr):
         prev = prev_ref[:]
         packed = jnp.zeros((g, sg), jnp.int32)
         for j in range(u):
-            cls_full = _cls_of(prev)
+            cls_full = _cls_of_n(prev, nc)
             slot = x & MASK
             slot_f = slot.astype(jnp.float32)
             gc = math.gcd(g, 8)
             parts = [
                 _resolve_chunk_ctx(slot_f[ci:ci + gc], cls_full[ci:ci + gc],
                                    coarse_ref[ci:ci + gc],
-                                   thl_ref[ci:ci + gc], gc, sg)
+                                   thl_ref[ci:ci + gc], gc, sg, nc=nc)
                 for ci in range(0, g, gc)
             ]
             sym = jnp.concatenate([p[0] for p in parts], axis=0)
@@ -488,20 +520,21 @@ def pallas_decode_ctx(windows: jnp.ndarray, states: jnp.ndarray,
     assert l % unroll == 0 and cap % sg == 0 and 1 <= unroll <= 4
     u, wr = unroll, cap // sg
     assert wr <= g, (wr, g)
+    nc = freqs_gc.shape[1]
     coarse, thl = _split_resolve_tables_ctx(cums_gc)
     win3 = windows.reshape(l // u, u * wr, sg)
     st2 = jax.lax.bitcast_convert_type(states, jnp.int32).reshape(g, sg)
     out = pl.pallas_call(
-        _make_ctx_kernel(u, g, sg, wr),
+        _make_ctx_kernel(u, g, sg, wr, nc=nc),
         grid=(l // u,),
         in_specs=[
             pl.BlockSpec((1, u * wr, sg), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, sg), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_CTX, 16), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, nc, 16), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_CTX * 16, 34), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, nc * 16, 34), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),

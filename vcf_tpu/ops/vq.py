@@ -33,7 +33,15 @@ def _pairwise_sqdist(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 
 def kmeans_plus_plus_init(key, x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Standard k-means++ seeding (D^2 sampling), deterministic by key."""
+    """Standard k-means++ seeding (D^2 sampling), deterministic by key.
+
+    Seeding runs on a <=16384-point stride subsample (r5): the k
+    sequential D^2 passes were ~2/3 of the whole kmeans wall at 512^2
+    inputs, and seeding quality is statistically identical on a
+    uniform subsample (the Lloyd iterations still see every point)."""
+    n_full = x.shape[0]
+    if n_full > 16384:
+        x = x[:: -(-n_full // 16384)]
     n = x.shape[0]
     key, sub = jax.random.split(key)
     first = jax.random.randint(sub, (), 0, n)

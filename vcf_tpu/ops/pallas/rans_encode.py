@@ -42,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from vcf_tpu.ops.pallas.rans_decode import (
     _flat_idx,
     _flat_rank,
-    _flat_shift_right,
 )
 
 K_PROB = 15

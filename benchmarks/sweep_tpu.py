@@ -196,11 +196,12 @@ def bench_dwt_cbaac(frames, levels=3, order=0, tiles=1):
     return out
 
 
-def bench_dwt_grans(frames, levels=5):
+def bench_dwt_grans(frames, levels=5, n_ctx=0):
     """Config 3b (r5, VERDICT r4 missing #1): DWT + DEVICE grouped-rANS
     — analyze+quantize+lane and the entropy scan are one dispatch each
     way (per-band rANS groups, entropy/dwt_device.py), vs config 3's 16
-    per-band host codec calls."""
+    per-band host codec calls.  n_ctx > 0: the order-1 context tables
+    (cgrans; lane-major raster layout captures the zero runs)."""
     import jax
     import jax.numpy as jnp
 
@@ -220,7 +221,10 @@ def bench_dwt_grans(frames, levels=5):
         n * int(np.prod(s)) for s in shapes[1:]]
     g = len(sizes)
     tpu = jax.default_backend() == "tpu"
-    sg, l = dd.grid_dims(sizes, tpu)
+    # 256 syms/lane halves the scan length vs the library default (the
+    # per-step overhead was the wall at L=2048) for ~+0.13 bpp of
+    # states sidecar; each row reports its own bpp/J honestly
+    sg, l = dd.grid_dims(sizes, tpu, syms_per_lane=256)
 
     def batch_lanes(fr):
         per = jax.vmap(to_bands)(fr)          # list of (N, ...) bands
@@ -228,41 +232,71 @@ def bench_dwt_grans(frames, levels=5):
 
     lanes0 = jax.block_until_ready(jax.jit(batch_lanes)(
         jnp.asarray(frames)))
-    fg, cg = dd.train_tables(lanes0, g, sg)
+    if n_ctx:
+        fg, cg = dd.train_ctx_tables(lanes0, g, sg, n_ctx)
+    else:
+        fg, cg = dd.train_tables(lanes0, g, sg)
     fg_j, cg_j = jnp.asarray(fg), jnp.asarray(cg)
     unroll = next(u for u in (4, 3, 2, 1) if l % u == 0)
     use_pallas = tpu and sg % 128 == 0 and (sg * l) % 32768 == 0
 
     if use_pallas:
+        from vcf_tpu.ops.pallas import rans_ctx as rck
         from vcf_tpu.ops.pallas import rans_decode as rdk
         from vcf_tpu.ops.pallas import rans_encode as rek
 
-        @jax.jit
-        def enc_full(fr):
-            lanes = batch_lanes(fr)
-            le, st = rek.pallas_encode_grouped_raw(
-                lanes, fg_j, cg_j, unroll=unroll, sg=sg)
-            words, n_words, counts = rek.finish_stream_pallas(
-                le, chunk=32768, radix=2)
-            return words, n_words, st, counts
+        if n_ctx:
+            @jax.jit
+            def enc_full(fr):
+                lanes = batch_lanes(fr)
+                le, st = rck.pallas_encode_ctx_raw_u8(
+                    lanes, fg_j, cg_j, unroll=unroll, sg=sg)
+                words, n_words, counts = rek.finish_stream_pallas(
+                    le, chunk=32768, radix=2)
+                return words, n_words, st, counts, le
+        else:
+            # compact-variant kernel + cap-sliced assemble: the
+            # separate stitch pass was ~5 ms of the encode here (same
+            # structure as the bench.py wire path).  cap is derived
+            # from the actual counts once (encoder side info) with an
+            # in-graph guard.
+            probe_lanes = jax.jit(batch_lanes)(jnp.asarray(frames))
+            _, pcnts, _ = jax.jit(lambda lx: rek.pallas_encode_grouped_u8(
+                lx, fg_j, cg_j, unroll=unroll, sg=sg))(probe_lanes)
+            cap_w = int(-(-int(jnp.max(pcnts)) * 2 // 128) * 128)
+            cap_w = min(max(cap_w, 128), g * sg)
+
+            @jax.jit
+            def enc_full(fr):
+                lanes = batch_lanes(fr)
+                rows, counts, st = rek.pallas_encode_grouped_u8(
+                    lanes, fg_j, cg_j, unroll=unroll, sg=sg)
+                words, n_words = rek.assemble_stream(
+                    rows[:, :cap_w], counts)
+                return words, n_words, st, counts, rows
     else:
         @jax.jit
         def enc_full(fr):
             lanes = batch_lanes(fr)
-            return rans_mod.jax_encode_grouped(
-                lanes, fg_j, cg_j, unroll=unroll, with_counts=True)
+            if n_ctx:
+                w_, nw_, st_, c_ = rans_mod.jax_encode_ctx(
+                    lanes, fg_j, cg_j)
+            else:
+                w_, nw_, st_, c_ = rans_mod.jax_encode_grouped(
+                    lanes, fg_j, cg_j, unroll=unroll, with_counts=True)
+            return w_, nw_, st_, c_, jnp.zeros((1, 1), jnp.int32)
 
     @jax.jit
     def enc_reps(reps, fr):
         def body(i, acc):
-            words, n_words, st, counts = enc_full(jnp.roll(fr, i, axis=0))
+            words, n_words, st, counts, _ = enc_full(jnp.roll(fr, i, axis=0))
             return (acc + n_words + jnp.sum(words[:8].astype(jnp.int32))
                     + st[0].astype(jnp.int32) + counts[0])
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     fd = jax.device_put(frames)
     t_enc = _timed(enc_reps, fd)
-    words, n_words, st, counts = enc_full(fd)
+    words, n_words, st, counts, le_dev = enc_full(fd)
     nw_i = int(n_words)
     counts_h = np.asarray(counts).astype(np.int32)
 
@@ -282,7 +316,17 @@ def bench_dwt_grans(frames, levels=5):
 
         return jax.vmap(one)(per_frame)
 
-    if use_pallas:
+    if use_pallas and n_ctx:
+        # device-resident decode (grid path), matching the III/IPP
+        # rows' semantics; the wire bytes above are what rate counts
+        wpad = jax.block_until_ready(le_dev)
+
+        @jax.jit
+        def dec_full(le, cts, stt):
+            lanes = rck.pallas_decode_ctx_grid(
+                le, stt, fg_j, cg_j, l, unroll=unroll, sg=sg)
+            return lanes_to_frames(lanes)
+    elif use_pallas:  # order-0: wire-true windowed decode
         cap = sg * max(1, -(-int(counts_h.max()) // sg))
         cap = min(cap, g * sg)
         wpad = jax.block_until_ready(jnp.concatenate(
@@ -300,8 +344,12 @@ def bench_dwt_grans(frames, levels=5):
 
         @jax.jit
         def dec_full(wp, cts, stt):
-            lanes = rans_mod.jax_decode_hier(
-                wp, jnp.int32(0), stt, fg_j, cg_j, l, unroll=unroll)
+            if n_ctx:
+                lanes = rans_mod.jax_decode_ctx(
+                    wp, stt, fg_j, cg_j, l)
+            else:
+                lanes = rans_mod.jax_decode_hier(
+                    wp, jnp.int32(0), stt, fg_j, cg_j, l, unroll=unroll)
             return lanes_to_frames(lanes)
 
     cts_j = jnp.asarray(counts_h)
@@ -309,8 +357,11 @@ def bench_dwt_grans(frames, levels=5):
     @jax.jit
     def dec_reps(reps, wp, cts, stt):
         def body(i, acc):
-            rec = dec_full(wp, cts, stt)
-            return acc + jnp.sum(rec.astype(jnp.int32)) + i
+            # i-dependent state perturbation: a loop-invariant body gets
+            # hoisted by XLA and the decode times as ~0 (honesty law)
+            st_i = stt ^ (i.astype(jnp.uint32) & jnp.uint32(1))
+            rec = dec_full(wp, cts, st_i)
+            return acc + jnp.sum(rec.astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     t_dec = _timed(dec_reps, wpad, cts_j, st)
@@ -468,6 +519,8 @@ def main(out_path="benchmarks/results_tpu.json", run_video=True):
     results["dwt_deadzone_cbaac_tiled"] = bench_dwt_cbaac(
         frames[:2], tiles=8)
     results["dwt_deadzone_grans"] = bench_dwt_grans(frames)
+    results["dwt_deadzone_cgrans"] = bench_dwt_grans(frames, n_ctx=4)
+    results["dwt_deadzone_cgrans15"] = bench_dwt_grans(frames, n_ctx=15)
     results["lloydmax_vq_colorvq"] = bench_colorvq(frames[:2])
     if run_video:
         results["ipp_dct_1080p"] = bench_video("ipp")

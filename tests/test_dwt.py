@@ -261,6 +261,34 @@ class TestDWTDeviceEntropy:
         for a, b in zip(bands, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_ctx_mode_roundtrip(self):
+        """cgrans DWT (r5): order-1 per-band tables beat order-0 grans
+        on run-structured bands; small inputs stay order-0 (v1)."""
+        from vcf_tpu import Codec, CodecConfig, CodeStream
+        from vcf_tpu.entropy import dwt_device as dd
+        from vcf_tpu.io import test_image as make_img
+
+        img = make_img(512, 512, seed=2)
+        cfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=3,
+                          entropy="cgrans")
+        # force the ctx path on this 786k-symbol input
+        import vcf_tpu.ops.dwt as dwt_mod
+        old_min = dwt_mod.CTX_MIN_SYMBOLS
+        dwt_mod.CTX_MIN_SYMBOLS = 0
+        try:
+            cs = Codec(cfg).encode(img)
+        finally:
+            dwt_mod.CTX_MIN_SYMBOLS = old_min
+        ver = cs["gdwt_model"][0]
+        rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
+        cfg0 = cfg.replace(entropy="grans")
+        cs0 = Codec(cfg0).encode(img)
+        rec0 = Codec(cfg0).decode(CodeStream.from_bytes(cs0.to_bytes()))
+        np.testing.assert_array_equal(rec, rec0)   # entropy is lossless
+        if ver == 2:   # ctx engaged (size-gated)
+            assert cs.total_bytes < cs0.total_bytes, (
+                cs.total_bytes, cs0.total_bytes)
+
     def test_model_sidecar_roundtrip(self):
         from vcf_tpu.entropy import dwt_device as dd
 
@@ -270,8 +298,8 @@ class TestDWTDeviceEntropy:
         counts = rng.integers(0, 40, (l,)).astype(np.int64)
         fg = np.full((g, 256), 128, np.uint32)
         blob = dd.pack_model(g, sg, l, 1234, 16, states, counts, fg)
-        g2, sg2, l2, nw, qss, st2, c2, fg2, cg2 = dd.unpack_model(blob)
-        assert (g2, sg2, l2, nw, qss) == (g, sg, l, 1234, 16)
+        g2, sg2, l2, nw, qss, st2, c2, fg2, cg2, nctx = dd.unpack_model(blob)
+        assert (g2, sg2, l2, nw, qss, nctx) == (g, sg, l, 1234, 16, 0)
         np.testing.assert_array_equal(st2, states)
         np.testing.assert_array_equal(c2, counts)
         np.testing.assert_array_equal(fg2, fg)

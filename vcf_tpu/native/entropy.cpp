@@ -540,19 +540,49 @@ int64_t vcf_png_unfilter(const uint8_t* data, int64_t h, int64_t stride,
         for (int64_t x = bpp; x < stride; ++x)
           rec[x] = (uint8_t)(cur[x] + ((rec[x - bpp] + prev[x]) >> 1));
         break;
-      case 4: {  // Paeth: prefix split + branchless predictor
+      case 4: {  // Paeth: prefix split + branchless predictor.  The
+        // serial chain is pixel-to-pixel only — within a pixel the
+        // bpp channels are independent — so the specialized constant-
+        // width loops keep the previous pixel in registers and let the
+        // compiler SLP-vectorize the channel lanes (libpng's SIMD
+        // structure, r5: generic loop ran ~140 MB/s on this host).
         for (int64_t x = 0; x < bpp && x < stride; ++x)
           rec[x] = (uint8_t)(cur[x] + prev[x]);  // a=c=0 -> pred=b
-        for (int64_t x = bpp; x < stride; ++x) {
-          int a = rec[x - bpp];
-          int b = prev[x];
-          int c = prev[x - bpp];
+        auto paeth = [](int a, int b, int c) {
           int p = a + b - c;
           int pa = p > a ? p - a : a - p;
           int pb = p > b ? p - b : b - p;
           int pc = p > c ? p - c : c - p;
-          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
-          rec[x] = (uint8_t)(cur[x] + pred);
+          return (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+        };
+        if (bpp == 3 && stride % 3 == 0) {
+          int a0 = rec[0], a1 = rec[1], a2 = rec[2];
+          for (int64_t x = 3; x < stride; x += 3) {
+            int b0 = prev[x], b1 = prev[x + 1], b2 = prev[x + 2];
+            int c0 = prev[x - 3], c1 = prev[x - 2], c2 = prev[x - 1];
+            a0 = (uint8_t)(cur[x] + paeth(a0, b0, c0));
+            a1 = (uint8_t)(cur[x + 1] + paeth(a1, b1, c1));
+            a2 = (uint8_t)(cur[x + 2] + paeth(a2, b2, c2));
+            rec[x] = (uint8_t)a0;
+            rec[x + 1] = (uint8_t)a1;
+            rec[x + 2] = (uint8_t)a2;
+          }
+        } else if (bpp == 4 && stride % 4 == 0) {
+          int a0 = rec[0], a1 = rec[1], a2 = rec[2], a3 = rec[3];
+          for (int64_t x = 4; x < stride; x += 4) {
+            a0 = (uint8_t)(cur[x] + paeth(a0, prev[x], prev[x - 4]));
+            a1 = (uint8_t)(cur[x + 1] + paeth(a1, prev[x + 1], prev[x - 3]));
+            a2 = (uint8_t)(cur[x + 2] + paeth(a2, prev[x + 2], prev[x - 2]));
+            a3 = (uint8_t)(cur[x + 3] + paeth(a3, prev[x + 3], prev[x - 1]));
+            rec[x] = (uint8_t)a0;
+            rec[x + 1] = (uint8_t)a1;
+            rec[x + 2] = (uint8_t)a2;
+            rec[x + 3] = (uint8_t)a3;
+          }
+        } else {
+          for (int64_t x = bpp; x < stride; ++x)
+            rec[x] = (uint8_t)(cur[x] + paeth(rec[x - bpp], prev[x],
+                                              prev[x - bpp]));
         }
         break;
       }

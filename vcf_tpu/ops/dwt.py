@@ -533,6 +533,11 @@ def synthesize(decomp, wavelet: str):
 # Pipeline flow (invoked from vcf_tpu.pipeline.Codec)
 # ---------------------------------------------------------------------------
 
+#: below this many symbols the ctx tables sidecar (n_ctx x larger)
+#: outweighs the order-1 stream saving; cgrans stays order-0
+CTX_MIN_SYMBOLS = 2_000_000
+
+
 class DWT:
     def __init__(self, wavelet: str, levels: int):
         self.wavelet = wavelet
@@ -564,7 +569,8 @@ class DWT:
 
     def encode(self, codec, img: np.ndarray) -> CodeStream:
         cfg = codec.config
-        if cfg.entropy in ("grans", "rans") and cfg.quantizer == "deadzone":
+        if cfg.entropy in ("grans", "rans", "cgrans") \
+                and cfg.quantizer == "deadzone":
             return self.encode_device(codec, img)
         fwd, _ = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
         soff = codec.spatial_offset
@@ -679,8 +685,21 @@ class DWT:
         sg, l = dd.grid_dims(sizes, jax.default_backend() == "tpu")
         lanes = make_lanes(jnp.asarray(img), sg, l)
         g = len(sizes)
-        fg, cg = dd.train_tables(lanes, g, sg)
-        words, n_words, states, counts = dd.encode_grid(lanes, fg, cg, sg)
+        # cgrans: per-(band, prev-class) tables over the lane-major
+        # raster layout — captures the zero-run structure order-0
+        # misses (~0.9 bpp on detail bands).  Small inputs stay
+        # order-0: the n_ctx-x tables sidecar would outweigh the gain.
+        n_ctx = 0
+        if cfg.entropy == "cgrans" and sum(sizes) >= CTX_MIN_SYMBOLS:
+            n_ctx = cfg.context_classes
+        if n_ctx:
+            fg, cg = dd.train_ctx_tables(lanes, g, sg, n_ctx)
+            words, n_words, states, counts = dd.encode_grid_ctx(
+                lanes, fg, cg, sg)
+        else:
+            fg, cg = dd.train_tables(lanes, g, sg)
+            words, n_words, states, counts = dd.encode_grid(
+                lanes, fg, cg, sg)
 
         cs = CodeStream()
         cs.put_shape(img.shape)
@@ -689,7 +708,7 @@ class DWT:
         # the word stream gets its own segment
         cs["gdwt_words"] = words.astype("<u2").tobytes()
         cs["gdwt_model"] = dd.pack_model(
-            g, sg, l, n_words, cfg.qss, states, counts, fg)
+            g, sg, l, n_words, cfg.qss, states, counts, fg, n_ctx=n_ctx)
         cs.put_json(PAYLOAD, {
             "subbands": self.subband_names(), "levels": self.levels,
             "wavelet": self.wavelet, "device": True,
@@ -704,10 +723,14 @@ class DWT:
         shapes = self._band_shapes(shape)
         sizes = [int(np.prod(shapes[0]))] * 2 + [
             int(np.prod(s)) for s in shapes[1:]]
-        g, sg, l, n_words, qss, states, counts, fg, cg = dd.unpack_model(
-            cs["gdwt_model"])
+        (g, sg, l, n_words, qss, states, counts, fg, cg,
+         n_ctx) = dd.unpack_model(cs["gdwt_model"])
         words = np.frombuffer(cs["gdwt_words"], "<u2")[:n_words]
-        lanes = dd.decode_grid(words, states, counts, fg, cg, g, sg, l)
+        if n_ctx:
+            lanes = dd.decode_grid_ctx(words, states, counts, fg, cg,
+                                       g, sg, l)
+        else:
+            lanes = dd.decode_grid(words, states, counts, fg, cg, g, sg, l)
         bands = dd.grid_to_bands(lanes, sizes, sg)
         y = from_bands(bands, tuple(shapes))
         y = dct_ops.unpad_centered(y, shape)

@@ -418,15 +418,16 @@ def _make_kernel(u, g, sg):
     return kernel
 
 
-def _make_kernel_u8(u, g, sg):
+def _make_kernel_u8(u, g, sg, with_tri=True):
     """u8-input compact-variant kernel (r5): symbols arrive as raw
     (1, u, g, sg) uint8 blocks — the XLA-side column reversal and the
     byte-packing passes of `_make_kernel` (3 shift-OR passes over the
     whole grid, ~4.5 ms at bench shapes) move into the BlockSpec index
     map (grid runs the blocks newest-first) and a per-sub-step u8 load.
     tri_ref: (sg, sg) bf16 lower-triangular constant for the matmul
-    rank + carry-hi compaction."""
-    def kernel(sin_ref, thl_ref, tri_ref, out_ref, cnt_ref, st_ref, x_ref):
+    rank + carry-hi compaction (omitted when sg is large enough that
+    the constant would blow the 16 MB scoped-VMEM stack)."""
+    def body(sin_ref, thl_ref, tri, out_ref, cnt_ref, st_ref, x_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -434,7 +435,6 @@ def _make_kernel_u8(u, g, sg):
             x_ref[:] = jnp.full((g, sg), RANS_L, jnp.int32)
 
         x = x_ref[:]
-        tri = tri_ref[:]
         for rr in range(u - 1, -1, -1):   # newest column of the block first
             sym = sin_ref[0, rr].astype(jnp.int32)
             x, words, count = _encode_body(x, sym, thl_ref, g, sg, tri=tri)
@@ -442,6 +442,15 @@ def _make_kernel_u8(u, g, sg):
             cnt_ref[0, rr:rr + 1, :] = jnp.full((1, 128), count, jnp.int32)
         x_ref[:] = x
         st_ref[:] = x
+
+    if with_tri:
+        def kernel(sin_ref, thl_ref, tri_ref, out_ref, cnt_ref, st_ref,
+                   x_ref):
+            body(sin_ref, thl_ref, tri_ref[:], out_ref, cnt_ref, st_ref,
+                 x_ref)
+    else:
+        def kernel(sin_ref, thl_ref, out_ref, cnt_ref, st_ref, x_ref):
+            body(sin_ref, thl_ref, None, out_ref, cnt_ref, st_ref, x_ref)
 
     return kernel
 
@@ -469,21 +478,28 @@ def pallas_encode_grouped_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     thl = jnp.concatenate(
         [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
         axis=2).astype(jnp.bfloat16)
-    col = jnp.arange(sg, dtype=jnp.int32)
-    tri = (col[:, None] <= col[None, :]).astype(jnp.bfloat16)
+    # the (sg, sg) bf16 tri constant costs 2*sg^2 bytes of scoped VMEM;
+    # past ~2048 lanes it cannot fit next to the working set, so the
+    # rank falls back to the roll-stage path (still correct, ~slower)
+    with_tri = sg <= 2048
     nblk = l // u
     sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
+    operands = [sin,]
+    in_specs = [
+        pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_tri:
+        col = jnp.arange(sg, dtype=jnp.int32)
+        tri = (col[:, None] <= col[None, :]).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec((sg, sg), lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
     out, cnt, st = pl.pallas_call(
-        _make_kernel_u8(u, g, sg),
+        _make_kernel_u8(u, g, sg, with_tri=with_tri),
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sg, sg), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, u * g, sg), lambda t: (nblk - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -499,7 +515,7 @@ def pallas_encode_grouped_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
         interpret=interpret,
-    )(sin, thl, tri)
+    )(*((sin, thl, tri) if with_tri else (sin, thl)))
     rows = out.reshape(l, s)
     counts = cnt[:, :, 0].reshape(l)
     states = jax.lax.bitcast_convert_type(st.reshape(s), jnp.uint32)

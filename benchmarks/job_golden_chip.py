@@ -18,7 +18,8 @@ import json
 import os
 import sys
 
-for m in [k for k in sys.modules if k.startswith("vcf_tpu")]:
+for m in [k for k in sys.modules
+          if k.startswith("vcf_tpu") or k == "test_golden"]:
     del sys.modules[m]
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")

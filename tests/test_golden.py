@@ -33,6 +33,10 @@ CONFIGS = {
     "dct_lloydmax_zlib": CodecConfig(quantizer="lloydmax", qss=32,
                                      entropy="zlib"),
     "dct_grans": CodecConfig(entropy="grans"),
+    # r5 additions
+    "dwt_grans": CodecConfig(spatial="dwt", qss=16, dwt_levels=3,
+                             entropy="grans"),
+    "dct_cgrans": CodecConfig(entropy="cgrans"),
 }
 
 

@@ -114,3 +114,43 @@ class TestRANSStreamValidation:
         blob[5:9] = (10 ** 9).to_bytes(4, "little")   # absurd lane count
         with pytest.raises(Exception):
             c.decode(p, {"cgrans_model": bytes(blob)})
+
+
+class TestGdwtStreamValidation:
+    """Truncation/corruption on the r5 DWT device-entropy format must
+    raise or produce a detectable mismatch, never crash the process."""
+
+    def _stream(self, entropy="grans"):
+        from vcf_tpu.io import test_image as make_img
+
+        img = make_img(128, 96, seed=3)
+        cfg = CodecConfig(spatial="dwt", qss=16, dwt_levels=2,
+                          entropy=entropy)
+        return img, cfg, Codec(cfg).encode(img)
+
+    def test_truncated_words_raises_or_differs(self):
+        img, cfg, cs = self._stream()
+        cs2 = CodeStream.from_bytes(cs.to_bytes())
+        cs2["gdwt_words"] = cs2["gdwt_words"][: max(
+            2, len(cs2["gdwt_words"]) // 4)]
+        try:
+            out = Codec(cfg).decode(cs2)
+            assert not np.array_equal(out, Codec(cfg).decode(cs))
+        except Exception:
+            pass
+
+    def test_missing_model_raises(self):
+        img, cfg, cs = self._stream()
+        cs2 = CodeStream.from_bytes(cs.to_bytes())
+        del cs2._segments["gdwt_model"]
+        with pytest.raises(Exception):
+            Codec(cfg).decode(cs2)
+
+    def test_bad_model_version_raises(self):
+        img, cfg, cs = self._stream()
+        cs2 = CodeStream.from_bytes(cs.to_bytes())
+        blob = bytearray(cs2["gdwt_model"])
+        blob[0] = 99
+        cs2["gdwt_model"] = bytes(blob)
+        with pytest.raises(Exception):
+            Codec(cfg).decode(cs2)

@@ -349,6 +349,42 @@ def _fetch_fc_fused(sym, thl_c, gc, sg):
     return f_sel, c_sel
 
 
+def merged_fetch_table(freqs_g, cums_g):
+    """(G, 32, 32) bf16 two-hot fetch table (r5): contraction rows are
+    TWO copies of the 16 hi-nibble buckets — the first carrying
+    hi-byte values pre-scaled by 256 (f_hi*256 <= 32512 = f_hi x 2^8,
+    exact in bf16), the second the low bytes — so the matmul's f32
+    accumulation performs the byte merge and the per-lane select loop
+    shrinks from 16 x (2 muls + merge) to 16 x 1 madd per field."""
+    g = freqs_g.shape[0]
+    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
+    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
+    hi = jnp.concatenate([(f16 >> 8) * 256, (c16 >> 8) * 256], axis=2)
+    lo = jnp.concatenate([f16 & 255, c16 & 255], axis=2)
+    return jnp.concatenate([hi, lo], axis=1).astype(jnp.bfloat16)
+
+
+def _fetch_fc_merged(sym, tmh_c, gc, sg):
+    """(f, cum) f32 from the merged_fetch_table: one (GC, 32, 32) @
+    (GC, 32, SG) matmul (two-hot over the duplicated buckets) and a
+    16-madd select per field — no byte merges after the matmul."""
+    hi = sym >> 4
+    lo_f = (sym & 15).astype(jnp.float32)
+    i32b = jax.lax.broadcasted_iota(jnp.int32, (gc, 32, sg), 1)
+    oh2 = jnp.where(hi[:, None, :] == (i32b & 15),
+                    1.0, 0.0).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((0,), (0,)))
+    fetched = jax.lax.dot_general(tmh_c, oh2, dn,
+                                  preferred_element_type=jnp.float32)
+    f_sel = jnp.zeros((gc, sg), jnp.float32)
+    c_sel = jnp.zeros((gc, sg), jnp.float32)
+    for k in range(16):
+        m = jnp.where(lo_f == float(k), 1.0, 0.0)
+        f_sel += m * fetched[:, k, :]
+        c_sel += m * fetched[:, 16 + k, :]
+    return f_sel, c_sel
+
+
 def _encode_body(x, sym, thl_ref, g, sg, gc=8, tri=None):
     """One encode step on states x (G, SG) i32 (u32 bit pattern) with
     symbols sym (G, SG) i32.  Returns (new_x, word_row i32 (G, SG)
@@ -357,7 +393,7 @@ def _encode_body(x, sym, thl_ref, g, sg, gc=8, tri=None):
     carry-hi packed compaction (r5)."""
     gc = math.gcd(g, gc)  # always a divisor of g: no short final slice
     parts = [
-        _fetch_fc(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
+        _fetch_fc_merged(sym[ci:ci + gc], thl_ref[ci:ci + gc], gc, sg)
         for ci in range(0, g, gc)
     ]
     f_f = jnp.concatenate([p[0] for p in parts], axis=0)   # f32, exact
@@ -473,11 +509,7 @@ def pallas_encode_grouped_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     assert s == g * sg, (s, g, sg)
     assert l % unroll == 0 and 1 <= unroll <= 4
     u = unroll
-    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
-    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
-    thl = jnp.concatenate(
-        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
-        axis=2).astype(jnp.bfloat16)
+    thl = merged_fetch_table(freqs_g, cums_g)
     # the (sg, sg) bf16 tri constant costs 2*sg^2 bytes of scoped VMEM;
     # past ~2048 lanes it cannot fit next to the working set, so the
     # rank falls back to the roll-stage path (still correct, ~slower)
@@ -488,7 +520,7 @@ def pallas_encode_grouped_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     in_specs = [
         pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+        pl.BlockSpec((g, 32, 32), lambda t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if with_tri:
@@ -592,12 +624,7 @@ def pallas_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     assert s == g * sg, (s, g, sg)
     assert l % unroll == 0 and 1 <= unroll <= 4
     u = unroll
-    # split fetch table: [f_hi | f_lo | c_hi | c_lo] per hi-nibble bucket
-    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
-    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
-    thl = jnp.concatenate(
-        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
-        axis=2).astype(jnp.bfloat16)                       # (G, 16, 64)
+    thl = merged_fetch_table(freqs_g, cums_g)              # (G, 32, 32)
     # pack u symbol planes per grid step, REVERSED column order: grid
     # step t, byte j <-> symbol column l-1-(t*u+j)
     rev = syms[:, ::-1].astype(jnp.int32)                  # (S, L)
@@ -612,7 +639,7 @@ def pallas_encode_grouped(syms: jnp.ndarray, freqs_g: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, 32, 32), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -708,8 +735,8 @@ def _make_kernel_raw_u8(u, g, sg):
             sym = sin_ref[0, rr].astype(jnp.int32)
             gc = math.gcd(g, 8)
             parts = [
-                _fetch_fc_fused(sym[ci:ci + gc], thl_ref[ci:ci + gc],
-                                gc, sg)
+                _fetch_fc_merged(sym[ci:ci + gc], thl_ref[ci:ci + gc],
+                                 gc, sg)
                 for ci in range(0, g, gc)
             ]
             f_f = jnp.concatenate([p[0] for p in parts], axis=0)
@@ -757,11 +784,7 @@ def pallas_encode_grouped_raw_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     assert s == g * sg, (s, g, sg)
     assert l % unroll == 0 and 1 <= unroll <= 4
     u = unroll
-    f16 = freqs_g.astype(jnp.int32).reshape(g, 16, 16)
-    c16 = cums_g.astype(jnp.int32).reshape(g, 16, 16)
-    thl = jnp.concatenate(
-        [(f16 >> 8), (f16 & 255), (c16 >> 8), (c16 & 255)],
-        axis=2).astype(jnp.bfloat16)
+    thl = merged_fetch_table(freqs_g, cums_g)
     nblk = l // u
     sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
     le, st = pl.pallas_call(
@@ -770,7 +793,7 @@ def pallas_encode_grouped_raw_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 16, 64), lambda t: (0, 0, 0),
+            pl.BlockSpec((g, 32, 32), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -64,6 +64,16 @@ STILL_SWEEPS = [
      "per-subband device rANS"),
     ("dct-cgrans", CodecConfig(entropy="cgrans"),
      "order-1 context device rANS (delegates to grans on small inputs)"),
+    ("dct-cgrans15", CodecConfig(entropy="cgrans", context_classes=15),
+     "15-class rate-priority context (r5)"),
+    ("dwt-grans", CodecConfig(spatial="dwt", qss=16, dwt_levels=3,
+                              entropy="grans"),
+     "DWT with one-dispatch device entropy (r5)"),
+    ("dwt-cgrans", CodecConfig(spatial="dwt", qss=16, dwt_levels=3,
+                               entropy="cgrans"),
+     "DWT device entropy + per-band order-1 context (r5)"),
+    ("dct-cbaac-tiled", CodecConfig(entropy="cbaac", context_tiles=4),
+     "per-tile parallel adaptive streams (--tiles)"),
     # 2D-KLT.ipynb / 2D-MDCT.ipynb / 2D-LBT.ipynb
     ("klt-q16", CodecConfig(spatial="klt", qss=16, entropy="zlib"), ""),
     ("mdct-q16", CodecConfig(spatial="mdct", qss=16, entropy="zlib"), ""),

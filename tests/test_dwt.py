@@ -280,14 +280,14 @@ class TestDWTDeviceEntropy:
         finally:
             dwt_mod.CTX_MIN_SYMBOLS = old_min
         ver = cs["gdwt_model"][0]
+        assert ver == 2   # ctx engaged (threshold forced to 0 above)
         rec = Codec(cfg).decode(CodeStream.from_bytes(cs.to_bytes()))
         cfg0 = cfg.replace(entropy="grans")
         cs0 = Codec(cfg0).encode(img)
         rec0 = Codec(cfg0).decode(CodeStream.from_bytes(cs0.to_bytes()))
         np.testing.assert_array_equal(rec, rec0)   # entropy is lossless
-        if ver == 2:   # ctx engaged (size-gated)
-            assert cs.total_bytes < cs0.total_bytes, (
-                cs.total_bytes, cs0.total_bytes)
+        assert cs.total_bytes < cs0.total_bytes, (
+            cs.total_bytes, cs0.total_bytes)
 
     def test_model_sidecar_roundtrip(self):
         from vcf_tpu.entropy import dwt_device as dd

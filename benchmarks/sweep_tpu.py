@@ -257,9 +257,10 @@ def bench_dwt_grans(frames, levels=5, n_ctx=0):
         else:
             # compact-variant kernel + cap-sliced assemble: the
             # separate stitch pass was ~5 ms of the encode here (same
-            # structure as the bench.py wire path).  cap is derived
-            # from the actual counts once (encoder side info) with an
-            # in-graph guard.
+            # structure as the bench.py wire path).  cap comes from the
+            # actual counts (encoder side info) at 2x headroom; the
+            # roll-permuted timing reps are asserted against it below
+            # after the real encode.
             probe_lanes = jax.jit(batch_lanes)(jnp.asarray(frames))
             _, pcnts, _ = jax.jit(lambda lx: rek.pallas_encode_grouped_u8(
                 lx, fg_j, cg_j, unroll=unroll, sg=sg))(probe_lanes)
@@ -299,6 +300,8 @@ def bench_dwt_grans(frames, levels=5, n_ctx=0):
     words, n_words, st, counts, le_dev = enc_full(fd)
     nw_i = int(n_words)
     counts_h = np.asarray(counts).astype(np.int32)
+    if use_pallas and not n_ctx:
+        assert int(counts_h.max()) <= cap_w, (int(counts_h.max()), cap_w)
 
     # decode: entropy scan + per-frame synthesis, one jit
     _, from_bands, _ = dwt._build_device_fns(codec)
@@ -442,8 +445,11 @@ def bench_colorvq(frames, clusters=32):
     @jax.jit
     def dec_reps(reps, labels, cbs):
         def body(i, acc):
-            rec = decode_batch_dev(labels, cbs)
-            return acc + jnp.sum(rec.astype(jnp.int32)) + i
+            # i-dependent input perturbation: a loop-invariant body is
+            # hoisted by XLA and times as ~0 (honesty law)
+            lb = labels ^ (i & 1).astype(labels.dtype)
+            rec = decode_batch_dev(lb, cbs)
+            return acc + jnp.sum(rec.astype(jnp.int32))
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     labs_d = jnp.asarray(np.stack(labs2))

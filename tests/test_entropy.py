@@ -198,3 +198,20 @@ class TestHuffmanRLE:
         codec = entropy.get("huffman")
         payload, side = codec.encode(arr)
         np.testing.assert_array_equal(codec.decode(payload, side), arr)
+
+
+def test_cbahc_legacy_v1_stream_decodes():
+    """Pre-r5 CBAHC streams (no sentinel, unframed payload) must keep
+    decoding (review fix r5: the tiles byte was added with a 0xFF
+    sentinel + version so the old <BBIB> header stays parseable)."""
+    import struct
+    from vcf_tpu.entropy.cbahc import CBAHCCodec, _encode_stream
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (24, 16), np.uint8)
+    # hand-build a legacy stream: raw unframed payload + old header
+    payload = _encode_stream(arr.reshape(-1), 1)
+    meta = struct.pack(f"<BBIB{arr.ndim}I", 8, 1, len(payload),
+                       arr.ndim, *arr.shape)
+    out = CBAHCCodec(order=1).decode(payload, {"adaptive_huffman_tree": meta})
+    np.testing.assert_array_equal(out, arr)

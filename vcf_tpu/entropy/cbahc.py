@@ -229,24 +229,40 @@ class CBAHCCodec(EntropyCodec):
                               self.tiles, _encode_stream)
             payload = lo + hi
             split = len(lo)
-        meta = struct.pack(
-            f"<BBBIB{arr.ndim}I",
-            nbits, self.order, self.tiles, split, arr.ndim, *arr.shape
+        # 0xFF sentinel + version byte (r5): the pre-tiles layout led
+        # with nbits in {8, 16}, so 0xFF is unambiguous and v1 streams
+        # keep decoding (docs/FORMATS.md)
+        meta = b"\xff" + struct.pack(
+            f"<BBBBIB{arr.ndim}I",
+            2, nbits, self.order, self.tiles, split, arr.ndim, *arr.shape
         )
         return payload, {"adaptive_huffman_tree": meta}
 
     def decode(self, payload: bytes, side: Dict[str, bytes]) -> np.ndarray:
         blob = side["adaptive_huffman_tree"]
-        nbits, order, tiles, split, ndim = struct.unpack_from("<BBBIB", blob, 0)
-        shape = struct.unpack_from(f"<{ndim}I", blob, 8)
+        if blob[0] == 0xFF:    # v2: tiled framing, tiles byte in header
+            ver, nbits, order, tiles, split, ndim = struct.unpack_from(
+                "<BBBBIB", blob, 1)
+            shape = struct.unpack_from(f"<{ndim}I", blob, 10)
+            n = int(np.prod(shape))
+            if nbits == 8:
+                out = tiled_decode(payload, n, order, tiles,
+                                   _decode_stream).astype(np.uint8)
+            else:
+                lo = tiled_decode(payload[:split], n, order, tiles,
+                                  _decode_stream).astype(np.uint16)
+                hi = tiled_decode(payload[split:], n, order, tiles,
+                                  _decode_stream).astype(np.uint16)
+                out = (hi << 8) | lo
+            return out.reshape(shape)
+        # legacy (pre-r5): <BBIB> header, unframed per-plane streams
+        nbits, order, split, ndim = struct.unpack_from("<BBIB", blob, 0)
+        shape = struct.unpack_from(f"<{ndim}I", blob, 7)
         n = int(np.prod(shape))
         if nbits == 8:
-            out = tiled_decode(payload, n, order, tiles,
-                               _decode_stream).astype(np.uint8)
+            out = _decode_stream(payload, n, order).astype(np.uint8)
         else:
-            lo = tiled_decode(payload[:split], n, order, tiles,
-                              _decode_stream).astype(np.uint16)
-            hi = tiled_decode(payload[split:], n, order, tiles,
-                              _decode_stream).astype(np.uint16)
+            lo = _decode_stream(payload[:split], n, order).astype(np.uint16)
+            hi = _decode_stream(payload[split:], n, order).astype(np.uint16)
             out = (hi << 8) | lo
         return out.reshape(shape)

@@ -262,9 +262,10 @@ def _decode_body(x, win_rows, coarse_ref, thl_ref, g, sg, wr,
     return x, sym
 
 
-def _make_kernel(u, g, sg, wr, u8_out: bool = False):
-    def kernel(win_ref, st_in_ref, coarse_ref, thl_ref, tri_ref,
-               out_ref, st_ref):
+def _make_kernel(u, g, sg, wr, u8_out: bool = False,
+                 with_tri: bool = True):
+    def body(win_ref, st_in_ref, coarse_ref, thl_ref, tri,
+             out_ref, st_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -272,7 +273,6 @@ def _make_kernel(u, g, sg, wr, u8_out: bool = False):
             st_ref[:] = st_in_ref[:]
 
         x = st_ref[:]
-        tri = tri_ref[:]
         packed = jnp.zeros((g, sg), jnp.int32)
         for j in range(u):
             win_rows = win_ref[0, j * wr:(j + 1) * wr, :]
@@ -288,6 +288,17 @@ def _make_kernel(u, g, sg, wr, u8_out: bool = False):
         if not u8_out:
             out_ref[0] = packed
         st_ref[:] = x
+
+    if with_tri:
+        def kernel(win_ref, st_in_ref, coarse_ref, thl_ref, tri_ref,
+                   out_ref, st_ref):
+            body(win_ref, st_in_ref, coarse_ref, thl_ref, tri_ref[:],
+                 out_ref, st_ref)
+    else:
+        def kernel(win_ref, st_in_ref, coarse_ref, thl_ref,
+                   out_ref, st_ref):
+            body(win_ref, st_in_ref, coarse_ref, thl_ref, None,
+                 out_ref, st_ref)
 
     return kernel
 
@@ -415,8 +426,13 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
     u, wr = unroll, cap // sg
     assert wr <= g, (wr, g, "cap must fit the (G, SG) lane grid")
     coarse, thl = _split_tables(cums_g)
-    col = jnp.arange(sg, dtype=jnp.int32)
-    tri = (col[:, None] <= col[None, :]).astype(jnp.bfloat16)
+    # the (sg, sg) bf16 tri constant is 2*sg^2 bytes of scoped VMEM;
+    # past ~2048 lanes it cannot fit next to the working set (same
+    # guard as the encode side) — the rank falls back to roll stages
+    with_tri = sg <= 2048
+    if with_tri:
+        col = jnp.arange(sg, dtype=jnp.int32)
+        tri = (col[:, None] <= col[None, :]).astype(jnp.bfloat16)
     win3 = windows.reshape(l // u, u * wr, sg)
     st2 = jax.lax.bitcast_convert_type(
         states, jnp.int32).reshape(g, sg)
@@ -429,13 +445,16 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((g, 16, 34), lambda t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((sg, sg), lambda t: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    operands = (win3, st2, coarse, thl)
+    if with_tri:
+        in_specs.append(pl.BlockSpec((sg, sg), lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands = operands + (tri,)
     if lmajor:
         # u8 stores straight into the (L, S) layout — no unpack passes
         out = pl.pallas_call(
-            _make_kernel(u, g, sg, wr, u8_out=True),
+            _make_kernel(u, g, sg, wr, u8_out=True, with_tri=with_tri),
             grid=(l // u,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, u * g, sg), lambda t: (t, 0, 0),
@@ -443,10 +462,10 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((l // u, u * g, sg), jnp.uint8),
             scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
             interpret=interpret,
-        )(win3, st2, coarse, thl, tri)
+        )(*operands)
         return out.reshape(l, g * sg)
     out = pl.pallas_call(
-        _make_kernel(u, g, sg, wr),
+        _make_kernel(u, g, sg, wr, with_tri=with_tri),
         grid=(l // u,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g, sg), lambda t: (t, 0, 0),
@@ -454,7 +473,7 @@ def pallas_decode_grouped(windows: jnp.ndarray, states: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((l // u, g, sg), jnp.int32),
         scratch_shapes=[pltpu.VMEM((g, sg), jnp.int32)],
         interpret=interpret,
-    )(win3, st2, coarse, thl, tri)
+    )(*operands)
     # unpack: byte j of grid step t is symbol t*u + j
     bytes_ = jnp.stack(
         [(out >> (8 * j)) & 255 for j in range(u)], axis=1)  # (L//u, u, G, SG)

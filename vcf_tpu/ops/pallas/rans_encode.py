@@ -510,13 +510,13 @@ def pallas_encode_grouped_u8(syms: jnp.ndarray, freqs_g: jnp.ndarray,
     assert l % unroll == 0 and 1 <= unroll <= 4
     u = unroll
     thl = merged_fetch_table(freqs_g, cums_g)
-    # the (sg, sg) bf16 tri constant costs 2*sg^2 bytes of scoped VMEM;
-    # past ~2048 lanes it cannot fit next to the working set, so the
-    # rank falls back to the roll-stage path (still correct, ~slower)
-    with_tri = sg <= 2048
+    # the (sg, sg) bf16 tri constant costs 2*sg^2 bytes of scoped VMEM
+    # (past ~2048 lanes it cannot fit next to the working set), and
+    # _encode_body only consumes it on the wide-compaction range — so
+    # only ship it when both hold (review fix r5)
+    with_tri = sg <= 2048 and 32768 < g * sg <= 65536
     nblk = l // u
     sin = (syms if lmajor else syms.T).reshape(nblk, u, g, sg)
-    operands = [sin,]
     in_specs = [
         pl.BlockSpec((1, u, g, sg), lambda t: (nblk - 1 - t, 0, 0, 0),
                      memory_space=pltpu.VMEM),

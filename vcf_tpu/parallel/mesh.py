@@ -97,11 +97,40 @@ class BatchCodec:
             and jax.devices()[0].platform not in ("cpu",)
         )
 
+        # color-fused fast path (r5): the 3x3 color matrix rides inside
+        # the DCT kernels (u8 -> u8, no f32 color tensor in HBM) for the
+        # linear color transforms on kernel-native shapes
+        cname = "ycocg" if cfg.color == "ycocg_r" else cfg.color
+        cmats = {
+            "ycocg": (color_ops.YCOCG_FWD, color_ops.YCOCG_INV),
+            "ycrcb": (color_ops.YCRCB_FWD, color_ops.YCRCB_INV),
+            "cdct": (color_ops.CDCT_FWD, color_ops.CDCT_INV),
+        }
+        cfuse = cmats.get(cname) if not cfg.perceptual else None
+        mf_t = mi_t = None
+        if cfuse is not None:
+            mf_t = tuple(tuple(float(v) for v in row)
+                         for row in np.asarray(cfuse[0]))
+            mi_t = tuple(tuple(float(v) for v in row)
+                         for row in np.asarray(cfuse[1]))
+
         def encode_one(img_u8):
-            x = img_u8.astype(jnp.float32) - soff
-            ct = fwd(x)
             from vcf_tpu.ops.pallas import dct_kernel as _dk
 
+            if (self._pallas_ok and cfuse is not None
+                    and img_u8.shape[2] == 3
+                    and _dk.supports(*img_u8.shape[:2])):
+                from vcf_tpu.ops.pallas.dct_kernel import fused_cdct_quantize
+
+                k_u8 = fused_cdct_quantize(
+                    img_u8.transpose(2, 0, 1), mf_t, b=b, qss=cfg.qss,
+                    offset=soff)
+                k_img = k_u8.transpose(1, 2, 0)
+                if cfg.subbands:
+                    k_img = dct_ops.to_subbands(k_img, b)
+                return k_img
+            x = img_u8.astype(jnp.float32) - soff
+            ct = fwd(x)
             if self._pallas_ok and _dk.supports_padded(*ct.shape[:2], b):
                 from vcf_tpu.ops.pallas import fused_dct_quantize_any
 
@@ -126,6 +155,19 @@ class BatchCodec:
         def decode_one(k_u8):
             from vcf_tpu.ops.pallas import dct_kernel as _dk
 
+            if (self._pallas_ok and cfuse is not None
+                    and k_u8.shape[2] == 3
+                    and _dk.supports(*k_u8.shape[:2])):
+                from vcf_tpu.ops.pallas.dct_kernel import (
+                    fused_dequantize_cdct)
+
+                k_img = k_u8
+                if cfg.subbands:
+                    k_img = dct_ops.from_subbands(k_img, b)
+                pix = fused_dequantize_cdct(
+                    k_img.transpose(2, 0, 1), mi_t, b=b, qss=cfg.qss,
+                    offset=soff)
+                return pix.transpose(1, 2, 0)
             if self._pallas_ok and _dk.supports_padded(*k_u8.shape[:2], b):
                 from vcf_tpu.ops.pallas import fused_dequantize_idct_any
 

@@ -308,10 +308,10 @@ def main():
         # (grid_lanes_lmajor / lmajor=True), so laning is ONE
         # transpose each way and the encoder's reversal+byte-packing
         # XLA passes are gone (r5 probes 111-122).
-        MF = tuple(tuple(float(v) for v in row)
-                   for row in np.asarray(color_ops.YCOCG_FWD))
-        MI = tuple(tuple(float(v) for v in row)
-                   for row in np.asarray(color_ops.YCOCG_INV))
+        from vcf_tpu.ops.pallas.dct_kernel import static_mat
+
+        MF = static_mat(color_ops.YCOCG_FWD)
+        MI = static_mat(color_ops.YCOCG_INV)
         cw = _chunk_w(w, b)
 
         def make_lanes(fd):              # (N, H, W, 3) u8 -> (L, S) u8

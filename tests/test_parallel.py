@@ -224,3 +224,35 @@ class TestShardedVQ:
         cb8, lab8, _ = vq.kmeans_sharded(key, x, 8, make_mesh(8))
         np.testing.assert_allclose(cb1, cb8, atol=1e-3)
         np.testing.assert_array_equal(lab1, lab8)
+
+
+class TestColorFusedBatchPath:
+    """Pin the r5 color-fused BatchCodec branch wiring in CPU interpret
+    mode (the platform gate otherwise leaves it chip-only)."""
+
+    @pytest.mark.parametrize("color", ["ycocg", "ycrcb", "cdct"])
+    def test_fused_matches_xla(self, color):
+        from vcf_tpu.parallel import mesh as mesh_mod
+        from vcf_tpu.parallel.mesh import BatchCodec, make_mesh
+
+        from vcf_tpu.io import test_image
+
+        frames = np.stack([
+            np.asarray(test_image(64, 128, seed=i)) for i in range(2)
+        ])
+        cfg = CodecConfig(color=color)
+        mesh1 = make_mesh(1)
+        bx = BatchCodec(cfg.replace(use_pallas=False), mesh1)
+        px = np.asarray(bx.encode_planes(frames))
+        rx = np.asarray(bx.decode_planes(px))
+        mesh_mod._FORCE_FUSED_INTERPRET = True
+        try:
+            bf = BatchCodec(cfg, mesh1)
+            pf = np.asarray(bf.encode_planes(frames))
+            rf = np.asarray(bf.decode_planes(pf))
+        finally:
+            mesh_mod._FORCE_FUSED_INTERPRET = False
+        # CPU interpret is bit-exact on encode; decode rounds identically
+        np.testing.assert_array_equal(pf, px)
+        d = np.abs(rf.astype(np.int32) - rx.astype(np.int32))
+        assert d.max() <= 1 and (d != 0).mean() < 1e-3

@@ -250,6 +250,12 @@ def fused_dequantize_idct(planes_u8: jnp.ndarray, b: int = 8, qss: int = 32,
     )(*operands)
 
 
+def static_mat(m) -> tuple:
+    """3x3 color matrix -> hashable nested float tuple for the fused
+    kernels' static `m` argument (shared by mesh.py / ipp.py / bench)."""
+    return tuple(tuple(float(v) for v in row) for row in np.asarray(m))
+
+
 def _encode_kernel_cdct(x_ref, bv_ref, bh_ref, o_ref, *, qss: int,
                         offset: int, m: tuple):
     """Color-fused encode: the 3x3 color forward (baked scalar

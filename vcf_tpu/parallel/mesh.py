@@ -34,6 +34,11 @@ from vcf_tpu.ops import dct as dct_ops
 from vcf_tpu.ops import quantize as q_ops
 
 
+#: test hook: force the Pallas fused branches on in interpret mode so
+#: the CPU suite can pin their wiring (tests/test_parallel.py)
+_FORCE_FUSED_INTERPRET = False
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     """1-D mesh over the first `n_devices` devices (default: all)."""
     devs = jax.devices()
@@ -81,7 +86,8 @@ class BatchCodec:
         cfg = self.config
         b = cfg.block_size
         soff = 128 if cfg.quantizer == "deadzone" else 0
-        fwd, inv = color_ops.get(cfg.color if cfg.color != "ycocg_r" else "ycocg")
+        cname = "ycocg" if cfg.color == "ycocg_r" else cfg.color
+        fwd, inv = color_ops.get(cname)
         axis = self.axis
 
         if cfg.quantizer == "lloydmax":
@@ -94,13 +100,14 @@ class BatchCodec:
         self._pallas_ok = (
             cfg.use_pallas
             and cfg.quantizer == "deadzone"
-            and jax.devices()[0].platform not in ("cpu",)
+            and (jax.devices()[0].platform not in ("cpu",)
+                 or _FORCE_FUSED_INTERPRET)
         )
+        interp = bool(_FORCE_FUSED_INTERPRET)
 
         # color-fused fast path (r5): the 3x3 color matrix rides inside
         # the DCT kernels (u8 -> u8, no f32 color tensor in HBM) for the
         # linear color transforms on kernel-native shapes
-        cname = "ycocg" if cfg.color == "ycocg_r" else cfg.color
         cmats = {
             "ycocg": (color_ops.YCOCG_FWD, color_ops.YCOCG_INV),
             "ycrcb": (color_ops.YCRCB_FWD, color_ops.YCRCB_INV),
@@ -109,10 +116,9 @@ class BatchCodec:
         cfuse = cmats.get(cname) if not cfg.perceptual else None
         mf_t = mi_t = None
         if cfuse is not None:
-            mf_t = tuple(tuple(float(v) for v in row)
-                         for row in np.asarray(cfuse[0]))
-            mi_t = tuple(tuple(float(v) for v in row)
-                         for row in np.asarray(cfuse[1]))
+            from vcf_tpu.ops.pallas.dct_kernel import static_mat
+
+            mf_t, mi_t = static_mat(cfuse[0]), static_mat(cfuse[1])
 
         def encode_one(img_u8):
             from vcf_tpu.ops.pallas import dct_kernel as _dk
@@ -124,7 +130,7 @@ class BatchCodec:
 
                 k_u8 = fused_cdct_quantize(
                     img_u8.transpose(2, 0, 1), mf_t, b=b, qss=cfg.qss,
-                    offset=soff)
+                    offset=soff, interpret=interp)
                 k_img = k_u8.transpose(1, 2, 0)
                 if cfg.subbands:
                     k_img = dct_ops.to_subbands(k_img, b)
@@ -166,7 +172,7 @@ class BatchCodec:
                     k_img = dct_ops.from_subbands(k_img, b)
                 pix = fused_dequantize_cdct(
                     k_img.transpose(2, 0, 1), mi_t, b=b, qss=cfg.qss,
-                    offset=soff)
+                    offset=soff, interpret=interp)
                 return pix.transpose(1, 2, 0)
             if self._pallas_ok and _dk.supports_padded(*k_u8.shape[:2], b):
                 from vcf_tpu.ops.pallas import fused_dequantize_idct_any

@@ -384,10 +384,10 @@ class IPPCodec:
         from vcf_tpu.ops.pallas.dct_kernel import (
             fused_cdct_quantize, fused_dequantize_cdct)
 
-        m_fwd = np.asarray(color_ops.YCOCG_FWD, np.float32)
-        m_inv = np.asarray(color_ops.YCOCG_INV, np.float32)
-        mf_t = tuple(tuple(float(v) for v in row) for row in m_fwd)
-        mi_t = tuple(tuple(float(v) for v in row) for row in m_inv)
+        from vcf_tpu.ops.pallas.dct_kernel import static_mat
+
+        mf_t = static_mat(color_ops.YCOCG_FWD)
+        mi_t = static_mat(color_ops.YCOCG_INV)
         lw = np.asarray([0.299, 0.587, 0.114], np.float32)
 
         # color-fused kernels (r5): pixels/residuals in the closed loop
